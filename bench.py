@@ -1,0 +1,129 @@
+"""Benchmark driver: batched ACOPF SQP throughput on the current backend.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric (BASELINE.json): SQP iterations/s per chip on batched ACOPF.
+``vs_baseline`` is the measured speedup of the batched TPU-native solve over
+solving the same instances one-at-a-time (the reference's serial, one-QP-at-
+a-time execution model, sqp_trust_region.jl:124 — the reference itself
+publishes no numbers, BASELINE.md).
+
+Environment knobs:
+  SQP_BENCH_CASE   bus count of the synthetic network   (default 30)
+  SQP_BENCH_BATCH  instance batch size                  (default 32)
+  SQP_BENCH_DTYPE  float64 | float32                    (default float32 on
+                   TPU with mixed-precision KKT, float64 elsewhere)
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/sqpsolver_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+
+from sqpsolver_tpu import Parameters  # noqa: E402
+from sqpsolver_tpu.models.acopf import acopf_polar, load_scenarios  # noqa: E402
+from sqpsolver_tpu.models.power import case9, synthetic_case  # noqa: E402
+from sqpsolver_tpu.parallel.batch import (  # noqa: E402
+    batch_data,
+    make_batch_solver,
+    summarize_batch,
+)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    platform = jax.devices()[0].platform
+    nbus = int(os.environ.get("SQP_BENCH_CASE", "30"))
+    batch = int(os.environ.get("SQP_BENCH_BATCH", "32"))
+    default_dtype = "float32" if platform == "tpu" else "float64"
+    dtype = os.environ.get("SQP_BENCH_DTYPE", default_dtype)
+
+    case = case9() if nbus == 9 else synthetic_case(nbus, seed=1)
+    nlp = acopf_polar(case)
+    log(f"backend={platform} case={case.name} n={nlp.n} m={nlp.m} "
+        f"batch={batch} dtype={dtype}")
+
+    params = Parameters(
+        max_iter=25,
+        OutputFlag=0,
+        tol_infeas=1.0e-6,
+        tol_residual=1.0e-4,
+        qp_max_iter=30,
+        dtype=dtype,
+        kkt_precision="mixed_ir" if dtype == "float32" else "direct",
+    )
+    import jax.numpy as jnp
+
+    jdtype = jnp.float64 if dtype == "float64" else jnp.float32
+
+    solver = make_batch_solver(nlp, params)
+    theta = load_scenarios(case, batch, seed=7, spread=0.05)
+    data = batch_data(nlp, batch, theta=theta, dtype=jdtype)
+
+    # warm-up / compile
+    t0 = time.time()
+    out = solver(data)
+    jax.block_until_ready(out.x)
+    log(f"compile+first-run: {time.time() - t0:.1f}s")
+    summ = summarize_batch(out)
+    log(f"batched summary: {summ}")
+
+    # timed batched runs
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        out = solver(data)
+        jax.block_until_ready(out.x)
+    t_batched = (time.time() - t0) / reps
+    total_iters = int(np.asarray(out.iterations).sum())
+    batched_rate = total_iters / t_batched
+    log(f"batched: {total_iters} SQP iters in {t_batched:.3f}s "
+        f"-> {batched_rate:.1f} iter/s")
+
+    # serial baseline: same solver, one instance at a time (the reference's
+    # execution model), measured on a subsample and scaled
+    n_serial = min(4, batch)
+    serial_solver = make_batch_solver(nlp, params)  # batch=1 via slicing
+    one = jax.tree.map(lambda a: a[:1], data)
+    o = serial_solver(one)
+    jax.block_until_ready(o.x)  # compile
+    t0 = time.time()
+    iters_serial = 0
+    for i in range(n_serial):
+        one = jax.tree.map(lambda a: a[i : i + 1], data)
+        o = serial_solver(one)
+        jax.block_until_ready(o.x)
+        iters_serial += int(np.asarray(o.iterations).sum())
+    t_serial = time.time() - t0
+    serial_rate = iters_serial / t_serial
+    log(f"serial: {iters_serial} SQP iters in {t_serial:.3f}s "
+        f"-> {serial_rate:.1f} iter/s")
+
+    vs = batched_rate / serial_rate if serial_rate > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "batched_acopf_sqp_iters_per_sec",
+                "value": round(batched_rate, 2),
+                "unit": "SQP-iter/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

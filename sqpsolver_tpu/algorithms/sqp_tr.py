@@ -1,0 +1,676 @@
+"""Trust-region SQP driver (the live algorithm of the reference).
+
+A functional, jit/vmap/pjit-able re-statement of
+``/root/reference/src/algorithms/sqp_trust_region.jl`` (``SqpTR`` + ``run!``):
+the mutable-state serial ``while true`` loop (``:124-214``) becomes a
+``lax.while_loop`` over an immutable :class:`SqpState` pytree, the external
+Ipopt QP solve becomes the in-framework elastic IPM
+(:mod:`sqpsolver_tpu.ops.qp_ipm`), and the per-instance control flow
+(accept/reject, feasibility-restoration entry/exit, SOC) is expressed as
+masked arithmetic so a batch of instances can diverge freely under ``vmap``
+(SURVEY hard part #2).
+
+Behavioral rules preserved (SURVEY §2.3, with reference cites inline):
+
+1.  canonical QP with TR box and slack placement (subproblem.jl:3-11)
+2.  ared/pred acceptance, pred forced to 1 in FR (sqp_trust_region.jl:515-538)
+3.  TR expand x2 only when the step hits the boundary; halve-on-reject with
+    floor 0.1*tol_direction (:535-537, :575)
+4.  penalty update  mu <- max(mu, |lam|inf, |nuL|inf, |nuU|inf)  (:378)
+5.  dual step = QP multipliers minus current, added on accept (:375-377,:532)
+6.  convergence tests in the reference's exact order (:187-204), iteration
+    limit with feasible-point downgrade (sqp.jl:215-224), unbounded heuristic
+    (:146-150), NaN objective -> status -13 (:113-115)
+7.  feasibility restoration as a mode flag; trigger on infeasible QP; exit on
+    accepted step (filterSQP-style) or tiny direction (:151-168,:188-191,:209)
+8.  optional second-order correction (:341-360, :543-572)
+9.  initial point clamp + projection onto linear constraints (:111-122)
+
+Known deviations (each deliberate, documented here):
+
+* the reference's ``sqp.ret == -3`` on an unexpected subproblem status is a
+  comparison, not an assignment (sqp_trust_region.jl:170 — a latent bug that
+  leaves the status at -5); we assign -3.
+* outputs re-evaluate g(x) at the final iterate instead of reporting the
+  possibly one-step-stale cached ``E`` (run! :218 writes the stale cache).
+* non-finite trial objectives reject the step instead of poisoning the merit
+  comparison (the reference only checks NaN at the initial point).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..nlp import NLP, NLPData, initial_point
+from ..ops.qp_ipm import IpmOptions, solve_qp
+from ..parameters import Parameters
+from ..status import Status
+from .common import kt_residuals, norm_violations
+
+Array = jax.Array
+
+#: Julia isapprox() default rtol = sqrt(eps), used by the reference for the
+#: "step on the TR boundary" tests (sqp_trust_region.jl:146,200,535)
+_ISAPPROX_RTOL = 1.4901161193847656e-08
+
+
+def _isapprox(a, b):
+    return jnp.abs(a - b) <= _ISAPPROX_RTOL * jnp.maximum(jnp.abs(a), jnp.abs(b))
+
+
+def _inf_norm(x):
+    return jnp.max(jnp.abs(x), initial=0.0)
+
+
+def _dropzeros(x, tol=1e-10):
+    """Reference dropzeros! (src/utils.jl:16-22): zero out tiny entries."""
+    return jnp.where(jnp.abs(x) < tol, 0.0, x)
+
+
+class SqpState(NamedTuple):
+    """Solver state pytree — the functional analog of the @sqp_fields struct
+    (sqp.jl:16-59) plus the SqpTR extras (sqp_trust_region.jl:6-91)."""
+
+    x: Array
+    lam: Array
+    mult_lo: Array  # nu_L >= 0
+    mult_up: Array  # nu_U >= 0
+    # cached evaluations at x (refreshed when the last step was accepted)
+    f: Array
+    df: Array
+    E: Array
+    J: Array
+    H: Array
+    prim_infeas: Array
+    dual_infeas: Array
+    # step/merit state
+    p: Array
+    phi: Array
+    mu: Array
+    tr: Array  # Delta
+    step_accepted: Array  # bool
+    fr: Array  # bool: feasibility restoration mode
+    iter: Array  # int32
+    ret: Array  # int32 status code
+    done: Array  # bool
+    # counters / observability (SURVEY §5.1/§5.5)
+    qp_iters_total: Array
+    n_accept: Array
+    n_reject: Array
+    n_soc_accept: Array
+    n_fr_iters: Array
+    stats: Any  # dict of per-iteration arrays or None
+
+
+class SqpResult(NamedTuple):
+    """Raw device-side result (wrapped host-side by results.Results)."""
+
+    x: Array
+    obj_val: Array
+    status: Array
+    g: Array
+    mult_g: Array
+    mult_x_L: Array
+    mult_x_U: Array
+    iterations: Array
+    prim_infeas: Array
+    dual_infeas: Array
+    qp_iters_total: Array
+    n_accept: Array
+    n_reject: Array
+    n_soc_accept: Array
+    n_fr_iters: Array
+    stats: Any
+
+
+def _trust_region_box(x, x_l, x_u, tr):
+    """TR box in step space with the degenerate-interval guard
+    (subproblem_JuMP.jl:432-463)."""
+    v_lb = x_l - x
+    v_ub = x_u - x
+    lb = jnp.maximum(-tr, v_lb)
+    ub = jnp.minimum(tr, v_ub)
+    bad = lb > ub
+    lb = jnp.where(bad, jnp.maximum(-tr, jnp.minimum(0.0, v_lb)), lb)
+    ub = jnp.where(bad, jnp.minimum(tr, jnp.maximum(0.0, v_ub)), ub)
+    return lb, ub
+
+
+def make_solver(
+    nlp: NLP,
+    params: Parameters = Parameters(),
+    *,
+    verbose: Optional[bool] = None,
+) -> Callable[[NLPData], SqpResult]:
+    """Build the jittable single-instance SQP-TR solve function.
+
+    The returned function maps :class:`NLPData` (bounds/x0/theta arrays) to a
+    :class:`SqpResult`; it is a pure jax function — jit it, vmap it over a
+    batch of NLPData, or pjit it over a device mesh.
+    """
+    if params.algorithm != "SQP-TR":
+        raise ValueError(
+            f"make_solver builds SQP-TR; got algorithm={params.algorithm!r} "
+            "(reference model.jl:78-91 rejects unknown algorithms with -12)"
+        )
+    n, m = nlp.n, nlp.m
+    n_lin = nlp.num_linear
+    dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+    if params.dtype == "float64" and not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "Parameters.dtype='float64' requires jax x64: call "
+            "sqpsolver_tpu.enable_x64() (or set JAX_ENABLE_X64=1) before "
+            "building a solver, or choose dtype='float32'."
+        )
+    exact_hessian = params.hessian_type == "exact"
+    use_soc = bool(params.use_soc)
+    collect_stats = bool(params.StatisticsFlag)
+    log_iters = bool(params.OutputFlag) if verbose is None else verbose
+
+    ipm_opts = IpmOptions(
+        max_iter=params.qp_max_iter,
+        tol=params.qp_tol,
+        ftb=params.qp_ftb,
+        factor_dtype=(
+            "float32" if params.kkt_precision == "mixed_ir" else "same"
+        ),
+        ir_steps=params.kkt_ir_steps,
+    )
+    w_big = jnp.asarray(params.elastic_weight, dtype)
+    # row index helper: linear rows lead (canonical ordering, SURVEY §3.2)
+    is_linear_row = jnp.arange(m) < n_lin
+
+    tol_dir = params.tol_direction
+    tol_res = params.tol_residual
+    tol_inf = params.tol_infeas
+    max_iter = params.max_iter
+    tr_max = jnp.asarray(1.0e8, dtype)  # Delta_max (sqp_trust_region.jl:70)
+
+    solve_t0 = [0.0]  # host-side clock for the iteration printer
+
+    # ------------------------------------------------------------- evals ----
+    def eval_all(x, lam, theta):
+        f, df = nlp.obj_grad(x, theta)
+        E = nlp.cons(x, theta)
+        J = nlp.cons_jac(x, theta)
+        if exact_hessian:
+            H = nlp.lag_hess(x, lam, theta)
+        else:
+            H = jnp.zeros((n, n), dtype)  # SLP mode: LP subproblems
+        return f, df, E, J, H
+
+    def viol1(E, x, d: NLPData):
+        return norm_violations(E, d.g_l, d.g_u, x, d.x_l, d.x_u, ord=1)
+
+    def merit(f_val, E_val, x_val, mu, fr, d: NLPData):
+        """l1 merit phi (sqp.jl:170-183); pure violation in FR mode."""
+        v = viol1(E_val, x_val, d)
+        phi = jnp.where(fr, v, f_val + mu * v)
+        # hardening: non-finite trial objective can never look attractive
+        return jnp.where(jnp.isfinite(phi), phi, jnp.asarray(jnp.inf, dtype))
+
+    # ---------------------------------------------------------- QP solves ---
+    def solve_subproblem(st: SqpState, d: NLPData):
+        """Normal/FR trust-region QP via input selection (no control flow —
+        mirrors the sub_optimize! dispatch at sqp_trust_region.jl:314-331)."""
+        rl = d.g_l - st.E
+        ru = d.g_u - st.E
+        lb, ub = _trust_region_box(st.x, d.x_l, d.x_u, st.tr)
+        # FR objective: min sum of freed slacks; slacks freed only for
+        # violated nonlinear rows (subproblem_JuMP.jl:352-393)
+        violated = jnp.logical_or(st.E < d.g_l, st.E > d.g_u)
+        freed = jnp.logical_and(violated, ~is_linear_row)
+        w_fr = jnp.where(freed, jnp.asarray(1.0, dtype), w_big)
+        w = jnp.where(st.fr, w_fr, w_big)
+        Q = jnp.where(st.fr, jnp.zeros_like(st.H), st.H)
+        c = jnp.where(st.fr, jnp.zeros_like(st.df), st.df)
+        sol = solve_qp(Q, c, st.J, rl, ru, lb, ub, w, opts=ipm_opts)
+        # infeasibility signal: slack mass on rows whose slacks are NOT freed
+        hard = jnp.where(st.fr, ~freed, jnp.ones((m,), bool))
+        hard_slack = jnp.max(
+            jnp.where(hard, sol.slack_u + sol.slack_v, 0.0), initial=0.0
+        )
+        infeasible = hard_slack > params.qp_infeas_tol
+        # "unexpected status" analog: IPM stopped far from a solution
+        rough = jnp.sqrt(jnp.asarray(params.qp_tol, dtype))
+        qp_bad = jnp.logical_and(
+            ~sol.converged,
+            jnp.logical_or(sol.pri_res > rough, sol.dual_res > rough),
+        )
+        qp_bad = jnp.logical_and(qp_bad, ~infeasible)
+        return sol, infeasible, qp_bad
+
+    def solve_soc(st: SqpState, E_trial, d: NLPData):
+        """Second-order correction QP (sqp_trust_region.jl:341-360):
+        re-linearize the residual at x+p and resolve."""
+        E_soc = E_trial - st.J @ st.p
+        rl = d.g_l - E_soc
+        ru = d.g_u - E_soc
+        lb, ub = _trust_region_box(st.x, d.x_l, d.x_u, st.tr)
+        w = jnp.full((m,), w_big, dtype)
+        sol = solve_qp(st.H, st.df, st.J, rl, ru, lb, ub, w, opts=ipm_opts)
+        return st.p + sol.p, sol.iters
+
+    def qmodel(st: SqpState, p, d: NLPData, with_step):
+        """q(p) = df'p + 1/2 p'Hp + mu * ||linearized viol||_1
+        (sqp_trust_region.jl:487-508); q(0) = mu * ||viol at x||_1."""
+        if with_step:
+            qval = st.df @ p + 0.5 * p @ (st.H @ p)
+            E_lin = st.E + st.J @ p
+            x_t = st.x + p
+        else:
+            qval = jnp.asarray(0.0, dtype)
+            E_lin = st.E
+            x_t = st.x
+        return qval + st.mu * viol1(E_lin, x_t, d)
+
+    # ------------------------------------------------------------ logging ---
+    def emit_log(st: SqpState, mark_fr, accepted_mark):
+        if not log_iters:
+            return
+
+        def _print(it, acc, fr, f, phi, mu, lmax, tr, pnorm, pr, du):
+            mark = "FR" if bool(fr) else "  "
+            a = "a" if bool(acc) else "r"
+            pr_s = f"{float(pr):6.8e}" if jnp.isfinite(pr) else "           Inf"
+            du_s = f"{float(du):6.8e}" if jnp.isfinite(du) else "           Inf"
+            print(
+                f"{mark}{int(it):6d}{a}  {float(f):+6.8e}  {float(phi):+6.8e}"
+                f"  {float(mu):+6.8e}  {float(lmax):+6.8e}  {float(tr):6.8e}"
+                f"  {float(pnorm):6.8e}  {pr_s}  {du_s}"
+                f"  {time.time() - solve_t0[0]:10.2f}"
+            )
+
+        lmax = jnp.maximum(
+            _inf_norm(st.lam),
+            jnp.maximum(_inf_norm(st.mult_lo), _inf_norm(st.mult_up)),
+        )
+        jax.debug.callback(
+            _print,
+            st.iter,
+            accepted_mark,
+            mark_fr,
+            st.f,
+            st.phi,
+            st.mu,
+            lmax,
+            st.tr,
+            _inf_norm(st.p),
+            st.prim_infeas,
+            st.dual_infeas,
+            ordered=True,
+        )
+
+    # ------------------------------------------------------- statistics -----
+    def init_stats():
+        if not collect_stats:
+            return None
+        z = lambda: jnp.zeros((max_iter + 1,), dtype)
+        return dict(
+            f=z(), phi=z(), mu=z(), tr=z(), p_norm=z(),
+            inf_pr=z(), inf_du=z(), qp_iters=z(),
+            accepted=jnp.zeros((max_iter + 1,), jnp.int32),
+            fr=jnp.zeros((max_iter + 1,), jnp.int32),
+        )
+
+    def record_stats(st: SqpState, qp_iters):
+        if not collect_stats:
+            return st.stats
+        i = jnp.clip(st.iter, 0, max_iter)
+        s = dict(st.stats)
+        s["f"] = s["f"].at[i].set(st.f)
+        s["phi"] = s["phi"].at[i].set(st.phi)
+        s["mu"] = s["mu"].at[i].set(st.mu)
+        s["tr"] = s["tr"].at[i].set(st.tr)
+        s["p_norm"] = s["p_norm"].at[i].set(_inf_norm(st.p))
+        s["inf_pr"] = s["inf_pr"].at[i].set(st.prim_infeas)
+        s["inf_du"] = s["inf_du"].at[i].set(st.dual_infeas)
+        s["qp_iters"] = s["qp_iters"].at[i].set(qp_iters.astype(dtype))
+        s["accepted"] = s["accepted"].at[i].set(st.step_accepted.astype(jnp.int32))
+        s["fr"] = s["fr"].at[i].set(st.fr.astype(jnp.int32))
+        return s
+
+    # ----------------------------------------------------------- the loop ---
+    def body(st: SqpState, d: NLPData) -> SqpState:
+        theta = d.theta
+
+        # 1. refresh evaluations iff the last step was accepted
+        #    (sqp_trust_region.jl:134-138)
+        def refresh(_):
+            f, df, E, J, H = eval_all(st.x, st.lam, theta)
+            prim = viol1(E, st.x, d)
+            dual = kt_residuals(df, st.lam, st.mult_up, st.mult_lo, J)
+            return f, df, E, J, H, prim, dual
+
+        def keep(_):
+            return st.f, st.df, st.E, st.J, st.H, st.prim_infeas, st.dual_infeas
+
+        f, df, E, J, H, prim, dual = lax.cond(st.step_accepted, refresh, keep, None)
+        st = st._replace(
+            f=f, df=df, E=E, J=J, H=H, prim_infeas=prim, dual_infeas=dual
+        )
+
+        # 2. QP subproblem + dual/penalty bookkeeping (compute_step!, :370-380)
+        sol, qp_infeasible, qp_bad = solve_subproblem(st, d)
+        failed = jnp.logical_or(qp_infeasible, qp_bad)
+        p = jnp.where(failed, 0.0, sol.p)
+        p_lam = jnp.where(failed, 0.0, sol.y - st.lam)
+        p_mlo = jnp.where(failed, 0.0, sol.mult_lo - st.mult_lo)
+        p_mup = jnp.where(failed, 0.0, sol.mult_up - st.mult_up)
+        mu = jnp.maximum(
+            st.mu,
+            jnp.maximum(
+                _inf_norm(st.lam),
+                jnp.maximum(_inf_norm(st.mult_lo), _inf_norm(st.mult_up)),
+            ),
+        )
+        st = st._replace(
+            p=p, mu=mu, qp_iters_total=st.qp_iters_total + sol.iters
+        )
+        p_norm = _inf_norm(p)
+
+        live = ~st.done
+
+        # 3. status triage (sqp_trust_region.jl:144-178)
+        #    3a. possibly unbounded: TR at max and step on its boundary
+        unbounded = jnp.logical_and(
+            ~failed,
+            jnp.logical_and(st.tr == tr_max, _isapprox(p_norm, st.tr)),
+        )
+        set_unbounded = jnp.logical_and(live, unbounded)
+        st = st._replace(
+            ret=jnp.where(set_unbounded, Status.DIVERGING_ITERATES, st.ret),
+            done=jnp.logical_or(st.done, set_unbounded),
+        )
+        live = ~st.done
+
+        #    3b. infeasible QP: enter FR, or fail out of FR (:151-168)
+        fr_fail = jnp.logical_and(qp_infeasible, st.fr)
+        fr_fail_ret = jnp.where(
+            st.prim_infeas <= tol_inf,
+            Status.FEASIBLE_POINT_FOUND,
+            Status.INFEASIBLE_PROBLEM_DETECTED,
+        )
+        set_fr_fail = jnp.logical_and(live, fr_fail)
+        st = st._replace(
+            ret=jnp.where(set_fr_fail, fr_fail_ret, st.ret),
+            done=jnp.logical_or(st.done, set_fr_fail),
+        )
+        live = ~st.done
+        fr_enter = jnp.logical_and(live, jnp.logical_and(qp_infeasible, ~st.fr))
+        st = st._replace(
+            fr=jnp.logical_or(st.fr, fr_enter),
+            n_fr_iters=st.n_fr_iters + fr_enter.astype(jnp.int32),
+        )
+
+        #    3c. unexpected QP status (:169-178); reference's dead assignment
+        #        ret == -3 is fixed to an assignment here (module docstring)
+        bad_ret = jnp.where(
+            st.prim_infeas <= tol_inf * 10.0,
+            Status.FEASIBLE_POINT_FOUND,
+            Status.ERROR_IN_STEP_COMPUTATION,
+        )
+        set_bad = jnp.logical_and(live, qp_bad)
+        st = st._replace(
+            ret=jnp.where(set_bad, bad_ret, st.ret),
+            done=jnp.logical_or(st.done, set_bad),
+        )
+        live = ~st.done
+        # FR entry skips the rest of the iteration (the `continue` at :167)
+        live_step = jnp.logical_and(live, ~fr_enter)
+
+        # 4. refresh merit after accepted steps (:180-182), with current mu
+        phi_new = merit(st.f, st.E, st.x, st.mu, st.fr, d)
+        st = st._replace(
+            phi=jnp.where(
+                jnp.logical_and(live_step, st.step_accepted), phi_new, st.phi
+            )
+        )
+
+        emit_log(st, st.fr, st.step_accepted)
+        st = st._replace(stats=record_stats(st, sol.iters))
+
+        # 5. tiny-direction test (:187-196): in FR exit restoration and
+        #    continue; otherwise converged
+        tiny = p_norm <= tol_dir
+        tiny_live = jnp.logical_and(live_step, tiny)
+        fr_exit_tiny = jnp.logical_and(tiny_live, st.fr)
+        conv_tiny = jnp.logical_and(tiny_live, ~st.fr)
+        st = st._replace(
+            fr=jnp.logical_and(st.fr, ~fr_exit_tiny),
+            ret=jnp.where(conv_tiny, Status.SOLVE_SUCCEEDED, st.ret),
+            done=jnp.logical_or(st.done, conv_tiny),
+        )
+        live_step = jnp.logical_and(live_step, ~tiny)
+
+        # 6. KKT convergence test (:198-204)
+        kkt_ok = jnp.logical_and(
+            st.prim_infeas <= tol_inf,
+            jnp.logical_and(
+                st.dual_infeas <= tol_res,
+                jnp.logical_and(~_isapprox(st.tr, p_norm), ~st.fr),
+            ),
+        )
+        conv_kkt = jnp.logical_and(live_step, kkt_ok)
+        st = st._replace(
+            ret=jnp.where(conv_kkt, Status.SOLVE_SUCCEEDED, st.ret),
+            done=jnp.logical_or(st.done, conv_kkt),
+        )
+        live_step = jnp.logical_and(live_step, ~kkt_ok)
+
+        # 7. do_step! — accept/reject with optional SOC (:515-579)
+        x_t = st.x + st.p
+        f_t = nlp.obj(x_t, theta)
+        E_t = nlp.cons(x_t, theta)
+        phi_t = merit(f_t, E_t, x_t, st.mu, st.fr, d)
+        ared = st.phi - phi_t
+        q0 = qmodel(st, st.p, d, with_step=False)
+        qk = qmodel(st, st.p, d, with_step=True)
+        pred = jnp.where(st.fr, jnp.asarray(1.0, dtype), q0 - qk)
+        rho = ared / pred
+        accept = jnp.logical_and(ared > 0.0, rho > 0.0)
+
+        new_x = x_t
+        new_lam = st.lam + p_lam
+        new_mlo = st.mult_lo + p_mlo
+        new_mup = st.mult_up + p_mup
+        soc_accept = jnp.array(False)
+        soc_qp_iters = jnp.array(0, jnp.int32)
+
+        if use_soc:
+            # SOC trial on rejection with constraint violation, outside FR
+            # (:543-572).  Branch-free: the SOC QP is solved unconditionally
+            # and the result is select-merged (batched instances diverge).
+            c_k = viol1(E_t, x_t, d)
+            try_soc = jnp.logical_and(
+                jnp.logical_and(~accept, c_k > 0.0), ~st.fr
+            )
+            p_soc, soc_qp_iters = solve_soc(st, E_t, d)
+            x_soc = st.x + p_soc
+            f_soc = nlp.obj(x_soc, theta)
+            E_soc_t = nlp.cons(x_soc, theta)
+            phi_soc = merit(f_soc, E_soc_t, x_soc, st.mu, st.fr, d)
+            ared_soc = st.phi - phi_soc
+            q_soc = qmodel(st, p_soc, d, with_step=True)
+            pred_soc = jnp.where(st.fr, jnp.asarray(1.0, dtype), q0 - q_soc)
+            rho_soc = ared_soc / pred_soc
+            soc_accept = jnp.logical_and(
+                try_soc, jnp.logical_and(ared_soc > 0.0, rho_soc > 0.0)
+            )
+            new_x = jnp.where(soc_accept, x_soc, new_x)
+
+        any_accept = jnp.logical_or(accept, soc_accept)
+        # TR update: expand only on a plain accept that hit the boundary
+        tr_exp = jnp.where(
+            jnp.logical_and(accept, _isapprox(st.tr, p_norm)),
+            jnp.minimum(2.0 * st.tr, tr_max),
+            st.tr,
+        )
+        tr_shrink = jnp.maximum(
+            0.5 * jnp.minimum(st.tr, p_norm), 0.1 * tol_dir
+        )
+        new_tr = jnp.where(any_accept, tr_exp, tr_shrink)
+
+        upd = jnp.logical_and(live_step, any_accept)
+        st = st._replace(
+            x=jnp.where(upd, new_x, st.x),
+            lam=jnp.where(upd, new_lam, st.lam),
+            mult_lo=jnp.where(upd, new_mlo, st.mult_lo),
+            mult_up=jnp.where(upd, new_mup, st.mult_up),
+            tr=jnp.where(live_step, new_tr, st.tr),
+            step_accepted=jnp.where(live_step, any_accept, st.step_accepted),
+            n_accept=st.n_accept + upd.astype(jnp.int32),
+            n_reject=st.n_reject
+            + jnp.logical_and(live_step, ~any_accept).astype(jnp.int32),
+            n_soc_accept=st.n_soc_accept
+            + jnp.logical_and(live_step, soc_accept).astype(jnp.int32),
+            qp_iters_total=st.qp_iters_total
+            + jnp.where(live_step, soc_qp_iters, 0) * use_soc,
+        )
+
+        # 8. filterSQP-style FR exit on an accepted step (:209-211)
+        st = st._replace(
+            fr=jnp.logical_and(st.fr, ~jnp.logical_and(live_step, any_accept))
+        )
+
+        # 9. iteration counter (also counts the FR-entry and FR-exit
+        #    `continue` iterations, :166/:191/:213)
+        return st._replace(iter=st.iter + jnp.where(live, 1, 0).astype(jnp.int32))
+
+    # ------------------------------------------------------ initialization --
+    def init_state(d: NLPData) -> SqpState:
+        theta = d.theta
+        x0 = initial_point(d)
+        f0, df0, E0, J0, H0 = eval_all(x0, jnp.zeros((m,), dtype), theta)
+
+        lam = jnp.zeros((m,), dtype)
+        mlo = jnp.zeros((n,), dtype)
+        mup = jnp.zeros((n,), dtype)
+
+        # linear-feasibility projection (sqp_trust_region.jl:111-122,:264-304)
+        if n_lin > 0:
+            lpviol = jnp.sum(
+                jnp.maximum(0.0, d.g_l[:n_lin] - E0[:n_lin])
+                + jnp.maximum(0.0, E0[:n_lin] - d.g_u[:n_lin])
+            ) + jnp.sum(
+                jnp.maximum(0.0, d.x_l - x0) + jnp.maximum(0.0, x0 - d.x_u)
+            )
+
+            # min ||x - x0||^2 over linear rows + bounds: Q=2I, c=-2 x0;
+            # nonlinear rows are freed by +-inf row bounds (they decouple)
+            rl = jnp.where(is_linear_row, d.g_l, -jnp.inf)
+            ru = jnp.where(is_linear_row, d.g_u, jnp.inf)
+            w = jnp.full((m,), w_big, dtype)
+            proj = solve_qp(
+                2.0 * jnp.eye(n, dtype=dtype),
+                -2.0 * x0,
+                J0,
+                rl,
+                ru,
+                d.x_l,
+                d.x_u,
+                w,
+                opts=ipm_opts,
+            )
+            do_proj = lpviol > tol_inf
+            x0 = jnp.where(do_proj, _dropzeros(proj.p), x0)
+            lam = jnp.where(do_proj, _dropzeros(proj.y), lam)
+            mlo = jnp.where(do_proj, _dropzeros(proj.mult_lo), mlo)
+            mup = jnp.where(do_proj, _dropzeros(proj.mult_up), mup)
+
+        nan_f = ~jnp.isfinite(f0)
+
+        return SqpState(
+            x=x0,
+            lam=lam,
+            mult_lo=mlo,
+            mult_up=mup,
+            f=f0,
+            df=df0,
+            E=E0,
+            J=J0,
+            H=H0,
+            prim_infeas=jnp.asarray(jnp.inf, dtype),
+            dual_infeas=jnp.asarray(jnp.inf, dtype),
+            p=jnp.zeros((n,), dtype),
+            phi=jnp.asarray(1.0e20, dtype),  # sqp_trust_region.jl:66
+            mu=jnp.asarray(params.init_mu, dtype),
+            tr=jnp.asarray(params.tr_size, dtype),
+            step_accepted=jnp.array(True),  # :71 — forces first-iter evals
+            fr=jnp.array(False),
+            iter=jnp.array(1, jnp.int32),
+            ret=jnp.where(
+                nan_f,
+                jnp.asarray(Status.INVALID_NUMBER_DETECTED, jnp.int32),
+                jnp.asarray(Status.OPTIMIZE_NOT_CALLED, jnp.int32),
+            ),
+            done=nan_f,
+            qp_iters_total=jnp.array(0, jnp.int32),
+            n_accept=jnp.array(0, jnp.int32),
+            n_reject=jnp.array(0, jnp.int32),
+            n_soc_accept=jnp.array(0, jnp.int32),
+            n_fr_iters=jnp.array(0, jnp.int32),
+            stats=init_stats(),
+        )
+
+    # ------------------------------------------------------------- driver ---
+    def solve(d: NLPData) -> SqpResult:
+        st0 = init_state(d)
+
+        def cond_fn(st: SqpState):
+            return jnp.logical_and(~st.done, st.iter <= max_iter)
+
+        st = lax.while_loop(cond_fn, partial(body, d=d), st0)
+
+        # iteration-limit downgrade (sqp.jl:215-224)
+        hit_limit = ~st.done
+        limit_ret = jnp.where(
+            st.prim_infeas <= tol_inf,
+            Status.FEASIBLE_POINT_FOUND,
+            Status.MAXIMUM_ITERATIONS_EXCEEDED,
+        )
+        ret = jnp.where(hit_limit, limit_ret, st.ret)
+
+        # write-back (run! :215-222); g re-evaluated at the final x
+        obj_val = nlp.obj(st.x, d.theta)
+        obj_out = -obj_val if nlp.maximize else obj_val
+        g_out = nlp.cons(st.x, d.theta)
+
+        return SqpResult(
+            x=st.x,
+            obj_val=obj_out,
+            status=ret,
+            g=g_out,
+            mult_g=st.lam,
+            mult_x_L=st.mult_lo,
+            mult_x_U=st.mult_up,
+            iterations=st.iter,
+            prim_infeas=st.prim_infeas,
+            dual_infeas=st.dual_infeas,
+            qp_iters_total=st.qp_iters_total,
+            n_accept=st.n_accept,
+            n_reject=st.n_reject,
+            n_soc_accept=st.n_soc_accept,
+            n_fr_iters=st.n_fr_iters,
+            stats=st.stats,
+        )
+
+    def solve_with_clock(d: NLPData) -> SqpResult:
+        solve_t0[0] = time.time()
+        if log_iters:
+            print(
+                f"  {'iter':>6}   {'f(x_k)':>15}  {'phi(x_k)':>15}  {'mu':>15}"
+                f"  {'|lam|inf':>15}  {'Delta':>14}  {'|p|':>14}"
+                f"  {'inf_pr':>14}  {'inf_du':>14}  {'time':>10}"
+            )
+        return solve(d)
+
+    solve_with_clock._raw = solve  # batched/sharded paths use the pure fn
+    return solve_with_clock

@@ -1,0 +1,291 @@
+"""AC Optimal Power Flow as pure-JAX NLPs (polar ACP and rectangular ACR).
+
+The flagship workload, mirroring the reference's PowerModels-built OPF
+(``/root/reference/test/opf.jl:5-25`` for ACP, ``examples/acopf/opf.jl:12-46``
+for ACR): minimize polynomial generation cost subject to reference-bus angle,
+bus power balance, and branch thermal limits.  The *math* of the reference's
+``build_opf`` (variable_bus_voltage / variable_gen_power / power balance /
+ohms / thermal limits) is restated as vectorized jax functions over
+:class:`sqpsolver_tpu.models.power.PowerCase`; PowerModels/JuMP are replaced
+by jax AD.
+
+Scenario batching: loads (pd, qd) enter through the NLP ``theta`` parameter
+pytree, so one compiled solver vmaps over thousands of load scenarios — the
+instance-batch scaling axis of BASELINE.md (1024 x case118).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..nlp import NLP
+from .power import PowerCase
+
+INF = np.inf
+
+
+def _start_point(case: PowerCase, nv: int):
+    """Bound-midpoint generator start + flat voltage start, per the
+    reference's init_vars (examples/acopf/init_opf.jl:4-20)."""
+    pg0 = 0.5 * (case.gen_pmin + case.gen_pmax)
+    qg0 = 0.5 * (case.gen_qmin + case.gen_qmax)
+    return pg0, qg0
+
+
+def _objective(case: PowerCase):
+    base = case.baseMVA
+    c2 = jnp.asarray(case.cost_c2)
+    c1 = jnp.asarray(case.cost_c1)
+    c0 = jnp.asarray(case.cost_c0)
+
+    def cost(pg):
+        mw = pg * base
+        return jnp.sum(c2 * mw * mw + c1 * mw + c0)
+
+    return cost
+
+
+def acopf_polar(case: PowerCase, scenario_batchable: bool = True) -> NLP:
+    """Polar (ACP) formulation.
+
+    Variables  x = [va (nb), vm (nb), pg (ng), qg (ng)].
+    Rows (linear first): ref-bus angle; P balance (nb); Q balance (nb);
+    from/to thermal limits (2*nl).
+    """
+    nb, ng, nl = case.nb, case.ng, case.nl
+    (gff, bff, gft, bft, gtf, btf, gtt, btt) = case.admittances()
+    gff, bff, gft, bft, gtf, btf, gtt, btt = (
+        jnp.asarray(a) for a in (gff, bff, gft, bft, gtf, btf, gtt, btt)
+    )
+    f_idx = jnp.asarray(case.br_f)
+    t_idx = jnp.asarray(case.br_t)
+    gs = jnp.asarray(case.bus_gs)
+    bs = jnp.asarray(case.bus_bs)
+    gen_bus = jnp.asarray(case.gen_bus)
+    cost = _objective(case)
+    n = 2 * nb + 2 * ng
+
+    has_rate = np.isfinite(case.br_rate) & (case.br_rate > 0)
+    rate2 = np.where(has_rate, case.br_rate**2, 1.0e4)
+
+    def split(x):
+        va = x[:nb]
+        vm = x[nb : 2 * nb]
+        pg = x[2 * nb : 2 * nb + ng]
+        qg = x[2 * nb + ng :]
+        return va, vm, pg, qg
+
+    def flows(va, vm):
+        vf, vt = vm[f_idx], vm[t_idx]
+        d = va[f_idx] - va[t_idx]
+        A = vf * vt * jnp.cos(d)
+        B = vf * vt * jnp.sin(d)
+        vf2 = vf * vf
+        vt2 = vt * vt
+        p_f = gff * vf2 + gft * A + bft * B
+        q_f = -bff * vf2 - bft * A + gft * B
+        p_t = gtt * vt2 + gtf * A - btf * B
+        q_t = -btt * vt2 - btf * A - gtf * B
+        return p_f, q_f, p_t, q_t
+
+    def f(x, theta=None):
+        _, _, pg, _ = split(x)
+        return cost(pg)
+
+    def g(x, theta=None):
+        va, vm, pg, qg = split(x)
+        pd = jnp.asarray(theta["pd"]) if theta is not None else jnp.asarray(case.bus_pd)
+        qd = jnp.asarray(theta["qd"]) if theta is not None else jnp.asarray(case.bus_qd)
+        p_f, q_f, p_t, q_t = flows(va, vm)
+        vm2 = vm * vm
+        p_inj = (
+            jnp.zeros(nb, x.dtype).at[gen_bus].add(pg)
+            - pd
+            - gs * vm2
+            - jnp.zeros(nb, x.dtype).at[f_idx].add(p_f)
+            - jnp.zeros(nb, x.dtype).at[t_idx].add(p_t)
+        )
+        q_inj = (
+            jnp.zeros(nb, x.dtype).at[gen_bus].add(qg)
+            - qd
+            + bs * vm2
+            - jnp.zeros(nb, x.dtype).at[f_idx].add(q_f)
+            - jnp.zeros(nb, x.dtype).at[t_idx].add(q_t)
+        )
+        s_from = p_f * p_f + q_f * q_f
+        s_to = p_t * p_t + q_t * q_t
+        return jnp.concatenate(
+            [x[case.ref_bus][None], p_inj, q_inj, s_from, s_to]
+        )
+
+    m = 1 + 2 * nb + 2 * nl
+    g_l = np.concatenate(
+        [np.zeros(1), np.zeros(2 * nb), np.full(2 * nl, -INF)]
+    )
+    g_u = np.concatenate([np.zeros(1), np.zeros(2 * nb), rate2, rate2])
+
+    pg0, qg0 = _start_point(case, n)
+    x0 = np.concatenate([np.zeros(nb), np.ones(nb), pg0, qg0])
+    x_l = np.concatenate(
+        [np.full(nb, -INF), case.bus_vmin, case.gen_pmin, case.gen_qmin]
+    )
+    x_u = np.concatenate(
+        [np.full(nb, INF), case.bus_vmax, case.gen_pmax, case.gen_qmax]
+    )
+
+    theta = (
+        {"pd": np.asarray(case.bus_pd), "qd": np.asarray(case.bus_qd)}
+        if scenario_batchable
+        else None
+    )
+    if not scenario_batchable:
+        f_fn, g_fn = (lambda x: f(x, None)), (lambda x: g(x, None))
+    else:
+        f_fn, g_fn = f, g
+
+    return NLP(
+        f=f_fn,
+        g=g_fn,
+        n=n,
+        m=m,
+        x_l=x_l,
+        x_u=x_u,
+        g_l=g_l,
+        g_u=g_u,
+        x0=x0,
+        num_linear=1,
+        theta=theta,
+        name=f"acopf_acp_{case.name}",
+    )
+
+
+def acopf_rect(case: PowerCase, scenario_batchable: bool = True) -> NLP:
+    """Rectangular (ACR) formulation — the reference example's formulation
+    (``examples/acopf/opf.jl:52`` uses build_acr).
+
+    Variables  x = [vr (nb), vi (nb), pg (ng), qg (ng)]; voltage magnitude
+    bounds become nonlinear rows  vmin^2 <= vr^2 + vi^2 <= vmax^2
+    (PowerModels constraint_voltage_magnitude semantics).
+    """
+    nb, ng, nl = case.nb, case.ng, case.nl
+    (gff, bff, gft, bft, gtf, btf, gtt, btt) = case.admittances()
+    gff, bff, gft, bft, gtf, btf, gtt, btt = (
+        jnp.asarray(a) for a in (gff, bff, gft, bft, gtf, btf, gtt, btt)
+    )
+    f_idx = jnp.asarray(case.br_f)
+    t_idx = jnp.asarray(case.br_t)
+    gs = jnp.asarray(case.bus_gs)
+    bs = jnp.asarray(case.bus_bs)
+    gen_bus = jnp.asarray(case.gen_bus)
+    cost = _objective(case)
+    n = 2 * nb + 2 * ng
+
+    has_rate = np.isfinite(case.br_rate) & (case.br_rate > 0)
+    rate2 = np.where(has_rate, case.br_rate**2, 1.0e4)
+
+    def split(x):
+        vr = x[:nb]
+        vi = x[nb : 2 * nb]
+        pg = x[2 * nb : 2 * nb + ng]
+        qg = x[2 * nb + ng :]
+        return vr, vi, pg, qg
+
+    def f(x, theta=None):
+        _, _, pg, _ = split(x)
+        return cost(pg)
+
+    def g(x, theta=None):
+        vr, vi, pg, qg = split(x)
+        pd = jnp.asarray(theta["pd"]) if theta is not None else jnp.asarray(case.bus_pd)
+        qd = jnp.asarray(theta["qd"]) if theta is not None else jnp.asarray(case.bus_qd)
+        vrf, vrt = vr[f_idx], vr[t_idx]
+        vif, vit = vi[f_idx], vi[t_idx]
+        vf2 = vrf * vrf + vif * vif
+        vt2 = vrt * vrt + vit * vit
+        A = vrf * vrt + vif * vit  # Re(V_f conj(V_t))
+        B = vif * vrt - vrf * vit  # Im(V_f conj(V_t))
+        p_f = gff * vf2 + gft * A + bft * B
+        q_f = -bff * vf2 - bft * A + gft * B
+        p_t = gtt * vt2 + gtf * A - btf * B
+        q_t = -btt * vt2 - btf * A - gtf * B
+        v2 = vr * vr + vi * vi
+        p_inj = (
+            jnp.zeros(nb, x.dtype).at[gen_bus].add(pg)
+            - pd
+            - gs * v2
+            - jnp.zeros(nb, x.dtype).at[f_idx].add(p_f)
+            - jnp.zeros(nb, x.dtype).at[t_idx].add(p_t)
+        )
+        q_inj = (
+            jnp.zeros(nb, x.dtype).at[gen_bus].add(qg)
+            - qd
+            + bs * v2
+            - jnp.zeros(nb, x.dtype).at[f_idx].add(q_f)
+            - jnp.zeros(nb, x.dtype).at[t_idx].add(q_t)
+        )
+        s_from = p_f * p_f + q_f * q_f
+        s_to = p_t * p_t + q_t * q_t
+        return jnp.concatenate(
+            [vi[case.ref_bus][None], p_inj, q_inj, v2, s_from, s_to]
+        )
+
+    m = 1 + 2 * nb + nb + 2 * nl
+    g_l = np.concatenate(
+        [
+            np.zeros(1),
+            np.zeros(2 * nb),
+            case.bus_vmin**2,
+            np.full(2 * nl, -INF),
+        ]
+    )
+    g_u = np.concatenate(
+        [np.zeros(1), np.zeros(2 * nb), case.bus_vmax**2, rate2, rate2]
+    )
+
+    pg0, qg0 = _start_point(case, n)
+    x0 = np.concatenate([np.ones(nb), np.zeros(nb), pg0, qg0])
+    x_l = np.concatenate(
+        [np.full(nb, -INF), np.full(nb, -INF), case.gen_pmin, case.gen_qmin]
+    )
+    x_u = np.concatenate(
+        [np.full(nb, INF), np.full(nb, INF), case.gen_pmax, case.gen_qmax]
+    )
+
+    theta = (
+        {"pd": np.asarray(case.bus_pd), "qd": np.asarray(case.bus_qd)}
+        if scenario_batchable
+        else None
+    )
+    if not scenario_batchable:
+        f_fn, g_fn = (lambda x: f(x, None)), (lambda x: g(x, None))
+    else:
+        f_fn, g_fn = f, g
+
+    return NLP(
+        f=f_fn,
+        g=g_fn,
+        n=n,
+        m=m,
+        x_l=x_l,
+        x_u=x_u,
+        g_l=g_l,
+        g_u=g_u,
+        x0=x0,
+        num_linear=1,
+        theta=theta,
+        name=f"acopf_acr_{case.name}",
+    )
+
+
+def load_scenarios(case: PowerCase, batch: int, seed: int = 0, spread: float = 0.1):
+    """Batch of load scenarios: multiplicative perturbations of (pd, qd).
+
+    Returns a theta pytree with leading axis ``batch`` for vmapped solves.
+    """
+    rng = np.random.default_rng(seed)
+    scale = 1.0 + spread * (2.0 * rng.random((batch, 1)) - 1.0)
+    jitter = 1.0 + 0.5 * spread * (2.0 * rng.random((batch, case.nb)) - 1.0)
+    pd = case.bus_pd[None, :] * scale * jitter
+    qd = case.bus_qd[None, :] * scale * jitter
+    return {"pd": pd, "qd": qd}

@@ -1,0 +1,126 @@
+"""Dense SPD linear solves with regularization and mixed-precision refinement.
+
+This is the innermost compute of the framework: every interior-point iteration
+of the QP subproblem solver factorizes one condensed KKT matrix
+
+    M = Q + D_p + A^T diag(E^-1) A + delta * I      (n x n, symmetric)
+
+and back-solves two right-hand sides (Mehrotra predictor + corrector).  The
+reference outsources this to Ipopt/ma57 inside the external QP solver
+(``/root/reference/examples/acopf/opf.jl:59-64``); here it is in-framework and
+TPU-shaped:
+
+* factorization and triangular solves are XLA ``cholesky`` /
+  ``triangular_solve`` — batched and MXU-tiled by the compiler; a Pallas
+  block factorization can be slotted in behind the same interface.
+* *inertia correction without an inertia-revealing factorization* (SURVEY hard
+  part #1): the Lagrangian Hessian Q may be indefinite, so we probe Cholesky
+  and escalate a primal regularization ``delta`` until the factorization
+  succeeds (NaN-free) — a jittable ``lax.while_loop``, vmap-safe.
+* optional mixed precision: factorize in float32 (MXU speed), then recover
+  float64-grade accuracy with a few sweeps of iterative refinement — the
+  TPU-native answer to the float64-on-TPU policy question (SURVEY hard part #4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+#: multiplicative ladder for the inertia-correction regularization
+_REG_GROWTH = 100.0
+_REG_MAX_TRIES = 10
+
+
+class Factorization(NamedTuple):
+    """Cholesky factor bundle (possibly lower precision) + metadata."""
+
+    chol: Array  # lower-triangular factor, in factorization dtype
+    matrix: Array  # regularized matrix in compute dtype (for refinement)
+    delta: Array  # regularization actually applied (scalar)
+    ok: Array  # bool: factorization succeeded within the ladder
+
+
+def _chol_ok(L: Array) -> Array:
+    return jnp.all(jnp.isfinite(L))
+
+
+def factorize_spd(
+    M: Array,
+    delta0: Array | float = 0.0,
+    *,
+    factor_dtype=None,
+) -> Factorization:
+    """Cholesky-factorize ``M + delta I`` with escalating ``delta``.
+
+    ``delta`` starts at ``delta0`` (pass the previous iteration's value to warm
+    start the ladder) and multiplies by ``_REG_GROWTH`` until the factor is
+    NaN-free.  This is the regularized/condensed-KKT stability strategy that
+    replaces sparse-LDL' pivoting (pivoting is hostile to fixed-shape TPU
+    code; a diagonal shift is branch-free and batchable).
+    """
+    n = M.shape[-1]
+    dtype = M.dtype
+    fdtype = factor_dtype or dtype
+    eye = jnp.eye(n, dtype=dtype)
+    # floor for the first nonzero delta, scaled to the matrix
+    diag_scale = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(M)), initial=0.0), 1.0
+    )
+    delta_floor = diag_scale * jnp.asarray(1e-12, dtype)
+
+    delta0 = jnp.asarray(delta0, dtype)
+
+    def attempt(delta):
+        L = jnp.linalg.cholesky((M + delta * eye).astype(fdtype))
+        return L, _chol_ok(L)
+
+    L0, ok0 = attempt(delta0)
+
+    def cond(carry):
+        _, _, ok, tries = carry
+        return jnp.logical_and(~ok, tries < _REG_MAX_TRIES)
+
+    def body(carry):
+        delta, _, _, tries = carry
+        new_delta = jnp.where(delta == 0.0, delta_floor, delta * _REG_GROWTH)
+        L, ok = attempt(new_delta)
+        return (new_delta, L, ok, tries + 1)
+
+    delta, L, ok, _ = lax.while_loop(cond, body, (delta0, L0, ok0, jnp.array(0)))
+    return Factorization(chol=L, matrix=M + delta * eye, delta=delta, ok=ok)
+
+
+def _cho_solve(L: Array, b: Array) -> Array:
+    """Triangular solve pair in the factor's dtype."""
+    b = b.astype(L.dtype)
+    y = lax.linalg.triangular_solve(
+        L, b, left_side=True, lower=True, transpose_a=False
+    )
+    return lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )
+
+
+@partial(jax.jit, static_argnames=("ir_steps",))
+def solve_factorized(fact: Factorization, b: Array, ir_steps: int = 0) -> Array:
+    """Solve ``(M + delta I) x = b`` from a prepared factorization.
+
+    With ``ir_steps > 0`` (mixed-precision mode) the triangular solves run in
+    the factor dtype (float32) and each refinement sweep computes the residual
+    in the compute dtype, recovering ~compute-dtype accuracy.
+    """
+    dtype = fact.matrix.dtype
+    x = _cho_solve(fact.chol, b).astype(dtype)
+    if fact.chol.dtype == dtype and ir_steps == 0:
+        return x
+    for _ in range(max(ir_steps, 1) if fact.chol.dtype != dtype else ir_steps):
+        r = b - fact.matrix @ x
+        x = x + _cho_solve(fact.chol, r).astype(dtype)
+    return x

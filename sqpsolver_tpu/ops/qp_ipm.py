@@ -1,0 +1,526 @@
+"""Elastic primal-dual interior-point QP solver (Mehrotra predictor-corrector).
+
+This module is the in-framework replacement for the reference's L0/L1 layers —
+the external Ipopt call behind ``sub_optimize!`` and friends
+(``/root/reference/src/algorithms/subproblem_JuMP.jl``).  One branch-free,
+jit/vmap/pjit-safe kernel covers every QP flavor the reference builds:
+
+Canonical *elastic* form (the canonical form of
+``/root/reference/src/algorithms/subproblem.jl:3-11`` with per-row elastic
+weights):
+
+    min_{p,u,v}  1/2 p'Qp + c'p + w'(u + v)
+    s.t.         A p + u - v = s,   rl <= s <= ru        (row constraints)
+                 lb <= p <= ub                            (box, incl. TR)
+                 u >= 0, v >= 0                           (elastic slacks)
+
+* **Normal QP** (``sub_optimize!``, subproblem_JuMP.jl:127-183): ``w = W_BIG``
+  on every row.  If the hard QP is feasible the elastic slacks converge to
+  ~mu/W (zero in the limit) and primal/dual solutions match the hard QP; if it
+  is infeasible the slack mass stays positive — that is the infeasibility
+  signal that triggers feasibility restoration (the reference gets it from the
+  external solver's INFEASIBLE status, sqp_trust_region.jl:151).
+* **Feasibility restoration QP** (``sub_optimize_FR!``,
+  subproblem_JuMP.jl:352-393): ``Q=0, c=0``; ``w=1`` on the *violated
+  nonlinear* rows (whose slacks the reference frees), ``W_BIG`` elsewhere.
+* **Elastic L1QP** (``sub_optimize_L1QP!``, subproblem_JuMP.jl:283-347):
+  ``w = mu`` on nonlinear rows.
+* **Initial projection LP/QP** (``sub_optimize_lp``,
+  subproblem_JuMP.jl:185-244): ``Q = 2I, c = -2 x_k`` over the linear rows.
+
+The elastic variables also make the condensed KKT system unconditionally
+well-posed: every row contributes ``u/zeta_u + v/zeta_v > 0`` to the row
+elasticity, so the condensed matrix
+
+    M = Q + D_p + A' diag(1/E) A   (+ delta I from inertia correction)
+
+is SPD whenever Q is PSD, and the Cholesky probe in
+:mod:`sqpsolver_tpu.ops.linsolve` handles indefinite Q.
+
+Multiplier conventions (see :mod:`sqpsolver_tpu.algorithms.common`): the
+equality multiplier ``y`` of ``Ap + u - v - s = 0`` *is* the row multiplier
+``lambda`` (stationarity in s gives ``y = lambda_u - lambda_l``), and the box
+duals ``zl, zu >= 0`` are the reduced costs ``mult_x_L`` / ``mult_x_U`` —
+the sign-split the reference performs on JuMP reduced costs
+(subproblem_JuMP.jl:543-550) falls out of the formulation here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .linsolve import factorize_spd, solve_factorized
+
+Array = jax.Array
+
+_BIG = 1e20  # stand-in for +inf inside masked arithmetic
+
+
+class QpSolution(NamedTuple):
+    """Solution bundle of one elastic QP solve."""
+
+    p: Array  # primal step, (n,)
+    y: Array  # row multipliers lambda (our convention), (m,)
+    mult_lo: Array  # lower-bound duals zl >= 0  -> mult_x_L, (n,)
+    mult_up: Array  # upper-bound duals zu >= 0  -> mult_x_U, (n,)
+    slack_u: Array  # elastic up slacks, (m,)
+    slack_v: Array  # elastic down slacks, (m,)
+    iters: Array  # interior-point iterations taken (scalar int)
+    converged: Array  # bool
+    pri_res: Array  # final scaled primal residual
+    dual_res: Array  # final scaled dual residual
+    gap: Array  # final mean complementarity
+
+
+@dataclasses.dataclass(frozen=True)
+class IpmOptions:
+    max_iter: int = 50
+    tol: float = 1.0e-10
+    ftb: float = 0.995  # fraction-to-boundary
+    fixed_var_ridge: float = 1.0e10  # penalty pinning fixed variables (lb==ub)
+    factor_dtype: str = "same"  # "same" or "float32" (mixed-precision KKT)
+    ir_steps: int = 2  # refinement sweeps when factor_dtype != compute dtype
+
+    def __hash__(self):
+        return hash(
+            (self.max_iter, self.tol, self.ftb, self.fixed_var_ridge,
+             self.factor_dtype, self.ir_steps)
+        )
+
+
+def _pos(x):
+    return jnp.maximum(x, 0.0)
+
+
+def _masked_div(num, den, mask):
+    """num/den where mask else 0, safe against den==0 outside the mask."""
+    safe = jnp.where(mask, den, 1.0)
+    return jnp.where(mask, num / safe, 0.0)
+
+
+def _ftb_alpha(a, da, mask, tau):
+    """Fraction-to-boundary step: largest alpha<=1 with a + alpha*da >= (1-tau)*a
+    over masked entries (standard IPM rule)."""
+    shrink = jnp.logical_and(mask, da < 0)
+    ratio = jnp.where(shrink, -a / jnp.where(shrink, da, -1.0), jnp.inf)
+    amax = jnp.min(ratio, initial=jnp.inf)
+    return jnp.minimum(1.0, tau * amax)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def solve_qp(
+    Q: Array,
+    c: Array,
+    A: Array,
+    rl: Array,
+    ru: Array,
+    lb: Array,
+    ub: Array,
+    w: Array,
+    opts: IpmOptions = IpmOptions(),
+) -> QpSolution:
+    """Solve the canonical elastic QP (module docstring) to tolerance.
+
+    All bounds may be ``+-inf``; equality rows are ``rl == ru``; fixed
+    variables ``lb == ub`` are pinned by a ridge penalty (their reduced cost is
+    recovered from stationarity afterwards).  Branch-free: safe under
+    ``vmap`` over problem instances and inside outer ``lax.while_loop``s.
+    """
+    dtype = c.dtype
+    n = c.shape[0]
+    m = rl.shape[0]
+    tau = jnp.asarray(opts.ftb, dtype)
+    fdtype = jnp.float32 if opts.factor_dtype == "float32" else dtype
+    ir_steps = opts.ir_steps if opts.factor_dtype == "float32" else 0
+
+    # ------------------------------------------------------------- masks ----
+    eq = jnp.logical_and(jnp.isfinite(rl), rl == ru)  # equality rows
+    hrl = jnp.logical_and(jnp.isfinite(rl), ~eq)  # lower-bounded ineq rows
+    hru = jnp.logical_and(jnp.isfinite(ru), ~eq)  # upper-bounded ineq rows
+    rowbounded = jnp.logical_or(hrl, hru)
+    freerow = jnp.logical_and(~eq, ~rowbounded)
+
+    fixed = jnp.logical_and(  # degenerate variable boxes
+        jnp.isfinite(lb), jnp.logical_and(jnp.isfinite(ub), ub - lb <= 1e-12)
+    )
+    fixval = jnp.where(fixed, 0.5 * (lb + ub), 0.0)
+    # fixed vars get a fake interior box + a ridge pinning them to fixval
+    lb_eff = jnp.where(fixed, fixval - 1.0, lb)
+    ub_eff = jnp.where(fixed, fixval + 1.0, ub)
+    hlb = jnp.isfinite(lb_eff)
+    hub = jnp.isfinite(ub_eff)
+
+    ridge = jnp.asarray(opts.fixed_var_ridge, dtype)
+    Qmod = Q + jnp.diag(jnp.where(fixed, ridge, 0.0))
+    cmod = c - jnp.where(fixed, ridge * fixval, 0.0)
+
+    # ------------------------------------------------------- initial point --
+    pad_p = jnp.where(
+        jnp.logical_and(hlb, hub),
+        jnp.minimum(0.25 * (ub_eff - lb_eff), 1.0),
+        1.0,
+    )
+    p = jnp.clip(
+        jnp.zeros((n,), dtype),
+        jnp.where(hlb, lb_eff + pad_p, -_BIG),
+        jnp.where(hub, ub_eff - pad_p, _BIG),
+    )
+    sl_width = jnp.where(jnp.logical_and(hrl, hru), ru - rl, jnp.inf)
+    pad_s = jnp.minimum(0.25 * sl_width, 1.0)
+    Ap = A @ p
+    s = jnp.clip(
+        Ap,
+        jnp.where(hrl, rl + pad_s, -_BIG),
+        jnp.where(hru, ru - pad_s, _BIG),
+    )
+    s = jnp.where(eq, rl, s)
+
+    eps_uv = 1.0 / jnp.sqrt(w)
+    u = eps_uv * jnp.ones((m,), dtype)
+    v = eps_uv * jnp.ones((m,), dtype)
+
+    y = jnp.zeros((m,), dtype)
+    one_n = jnp.ones((n,), dtype)
+    one_m = jnp.ones((m,), dtype)
+    zl = jnp.where(hlb, one_n, 0.0)
+    zu = jnp.where(hub, one_n, 0.0)
+    ll = jnp.where(hrl, one_m, 0.0)  # lambda_l
+    lu = jnp.where(hru, one_m, 0.0)  # lambda_u
+    zeta_u = w + y  # dual-feasible start for the elastic duals
+    zeta_v = w - y
+
+    n_pairs = (
+        jnp.sum(hlb) + jnp.sum(hub) + jnp.sum(hrl) + jnp.sum(hru) + 2 * m
+    ).astype(dtype)
+    n_pairs = jnp.maximum(n_pairs, 1.0)
+
+    def compl_mu(p, s, u, v, zl, zu, ll, lu, zeta_u, zeta_v):
+        tot = (
+            jnp.sum(jnp.where(hlb, (p - lb_eff) * zl, 0.0))
+            + jnp.sum(jnp.where(hub, (ub_eff - p) * zu, 0.0))
+            + jnp.sum(jnp.where(hrl, (s - rl) * ll, 0.0))
+            + jnp.sum(jnp.where(hru, (ru - s) * lu, 0.0))
+            + jnp.sum(u * zeta_u)
+            + jnp.sum(v * zeta_v)
+        )
+        return tot / n_pairs
+
+    state0 = dict(
+        p=p, s=s, u=u, v=v, y=y, zl=zl, zu=zu, ll=ll, lu=lu,
+        zeta_u=zeta_u, zeta_v=zeta_v,
+        iters=jnp.array(0, jnp.int32),
+        converged=jnp.array(False),
+        failed=jnp.array(False),
+        delta=jnp.zeros((), dtype),
+        pri_res=jnp.array(jnp.inf, dtype),
+        dual_res=jnp.array(jnp.inf, dtype),
+        gap=jnp.array(jnp.inf, dtype),
+    )
+
+    c_scale = 1.0 + jnp.max(jnp.abs(c), initial=0.0)
+
+    def primal_objective(p, u, v):
+        return 0.5 * p @ (Q @ p) + c @ p + w @ (u + v)
+
+    def residuals(st):
+        p, s, u, v, y = st["p"], st["s"], st["u"], st["v"], st["y"]
+        rd_p = Qmod @ p + cmod + A.T @ y - st["zl"] + st["zu"]
+        rp = A @ p + u - v - s
+        rd_s = jnp.where(rowbounded, -y - st["ll"] + st["lu"], 0.0)
+        rd_u = w + y - st["zeta_u"]
+        rd_v = w - y - st["zeta_v"]
+        return rd_p, rp, rd_s, rd_u, rd_v
+
+    def scaled_residuals(st):
+        rd_p, rp, rd_s, rd_u, rd_v = residuals(st)
+        pri = jnp.max(jnp.abs(rp), initial=0.0) / (
+            1.0 + jnp.max(jnp.abs(st["s"]), initial=0.0)
+        )
+        dscale = c_scale + jnp.max(jnp.abs(st["y"]), initial=0.0)
+        dual = (
+            jnp.maximum(
+                jnp.max(jnp.abs(rd_p), initial=0.0),
+                jnp.maximum(
+                    jnp.max(jnp.abs(rd_s), initial=0.0),
+                    jnp.maximum(
+                        jnp.max(jnp.abs(rd_u), initial=0.0),
+                        jnp.max(jnp.abs(rd_v), initial=0.0),
+                    ),
+                ),
+            )
+            / dscale
+        )
+        return pri, dual
+
+    def cond_fn(st):
+        return jnp.logical_and(
+            jnp.logical_and(~st["converged"], ~st["failed"]),
+            st["iters"] < opts.max_iter,
+        )
+
+    def body_fn(st):
+        p, s, u, v = st["p"], st["s"], st["u"], st["v"]
+        y, zl, zu, ll, lu = st["y"], st["zl"], st["zu"], st["ll"], st["lu"]
+        zeta_u, zeta_v = st["zeta_u"], st["zeta_v"]
+
+        # slack distances (masked; dummy 1 outside masks)
+        a_pl = jnp.where(hlb, p - lb_eff, 1.0)
+        a_pu = jnp.where(hub, ub_eff - p, 1.0)
+        a_sl = jnp.where(hrl, s - rl, 1.0)
+        a_su = jnp.where(hru, ru - s, 1.0)
+
+        rd_p, rp, rd_s, rd_u, rd_v = residuals(st)
+        mu = compl_mu(p, s, u, v, zl, zu, ll, lu, zeta_u, zeta_v)
+
+        # condensed matrix pieces (independent of the rhs -> factor once).
+        #
+        # Row elasticity E_i = u/zeta_u + v/zeta_v (+ 1/Ds for inequality
+        # rows) spans ~mu/w^2 (tight equality rows) to ~1/mu (slack rows):
+        # eliminating every row through 1/E_i (pure primal condensation)
+        # or none (pure range space) explodes the condition number at one
+        # extreme or the other.  Hybrid split: "soft" rows (large E) fold
+        # into the primal block K; "stiff" rows (small E — equalities and
+        # active constraints) are solved through an SPD Schur complement
+        #   S = A_t K^-1 A_t' + diag(E_t),
+        # whose E_t term acts as a bounded dual regularization.  Both
+        # factors stay well-conditioned across the whole barrier path.
+        Dp = _masked_div(zl, a_pl, hlb) + _masked_div(zu, a_pu, hub)
+        Ds = _masked_div(ll, a_sl, hrl) + _masked_div(lu, a_su, hru)
+        eu = u / zeta_u
+        ev = v / zeta_v
+        E = eu + ev + _masked_div(one_m, Ds, rowbounded)
+        soft = jnp.logical_or(E > 1.0, freerow)
+        elim = jnp.logical_and(soft, ~freerow)  # soft non-free: fold via 1/E
+        stiff = ~soft
+        invE_soft = jnp.where(elim, 1.0 / E, 0.0)
+        A_stiff = jnp.where(stiff[:, None], A, 0.0)
+        E_stiff = jnp.where(stiff, E, 1.0)
+
+        K = Qmod + jnp.diag(Dp) + (A.T * invE_soft) @ A
+        fact_K = factorize_spd(K, st["delta"], factor_dtype=fdtype)
+        KiAt = solve_factorized(fact_K, A_stiff.T, ir_steps=ir_steps)
+        S = A_stiff @ KiAt + jnp.diag(E_stiff)
+        fact_S = factorize_spd(S, jnp.zeros((), dtype), factor_dtype=fdtype)
+
+        def newton(cc_pl, cc_pu, cc_sl, cc_su, cc_u, cc_v):
+            """One Newton solve for given complementarity targets.
+
+            cc_* are the right-hand sides of the linearized complementarity
+            equations (sigma*mu - a.z - corrector term)."""
+            r1 = (
+                -rd_p
+                + _masked_div(cc_pl, a_pl, hlb)
+                - _masked_div(cc_pu, a_pu, hub)
+            )
+            ts = (
+                -rd_s
+                + _masked_div(cc_sl, a_sl, hrl)
+                - _masked_div(cc_su, a_su, hru)
+            )
+            rhs2 = (
+                -rp
+                - cc_u / zeta_u
+                + eu * rd_u
+                + cc_v / zeta_v
+                - ev * rd_v
+                + _masked_div(ts, Ds, rowbounded)
+            )
+            # free rows contribute a fixed dy = -y to the p-equation
+            r1_t = r1 + A.T @ (invE_soft * rhs2) + A.T @ jnp.where(freerow, y, 0.0)
+            t1 = solve_factorized(fact_K, r1_t, ir_steps=ir_steps)
+            b_t = A_stiff @ t1 - jnp.where(stiff, rhs2, 0.0)
+            dy_t = solve_factorized(fact_S, b_t, ir_steps=ir_steps)
+            dp = t1 - KiAt @ dy_t
+            dy_soft = jnp.where(elim, (A @ dp - rhs2) * invE_soft, -y)
+            dy = jnp.where(stiff, dy_t, dy_soft)
+            du = cc_u / zeta_u - eu * (dy + rd_u)
+            dv = cc_v / zeta_v - ev * (rd_v - dy)
+            ds = _masked_div(dy + ts, Ds, rowbounded)
+            ds = jnp.where(freerow, A @ dp + du - dv + rp, ds)  # eq rows: 0
+            dzl = _masked_div(cc_pl - zl * dp, a_pl, hlb)
+            dzu = _masked_div(cc_pu + zu * dp, a_pu, hub)
+            dll = _masked_div(cc_sl - ll * ds, a_sl, hrl)
+            dlu = _masked_div(cc_su + lu * ds, a_su, hru)
+            dzeta_u = dy + rd_u
+            dzeta_v = rd_v - dy
+            return dp, ds, du, dv, dy, dzl, dzu, dll, dlu, dzeta_u, dzeta_v
+
+        # ---- affine predictor (sigma = 0, no corrector term) ----
+        aff = newton(
+            -a_pl * zl * hlb,
+            -a_pu * zu * hub,
+            -a_sl * ll * hrl,
+            -a_su * lu * hru,
+            -u * zeta_u,
+            -v * zeta_v,
+        )
+        (dp_a, ds_a, du_a, dv_a, dy_a,
+         dzl_a, dzu_a, dll_a, dlu_a, dzu_ua, dzv_va) = aff
+
+        ap = jnp.minimum(
+            jnp.minimum(
+                _ftb_alpha(a_pl, dp_a, hlb, 1.0),
+                _ftb_alpha(a_pu, -dp_a, hub, 1.0),
+            ),
+            jnp.minimum(
+                jnp.minimum(
+                    _ftb_alpha(a_sl, ds_a, hrl, 1.0),
+                    _ftb_alpha(a_su, -ds_a, hru, 1.0),
+                ),
+                jnp.minimum(
+                    _ftb_alpha(u, du_a, jnp.ones_like(u, bool), 1.0),
+                    _ftb_alpha(v, dv_a, jnp.ones_like(v, bool), 1.0),
+                ),
+            ),
+        )
+        ad = jnp.minimum(
+            jnp.minimum(
+                _ftb_alpha(zl, dzl_a, hlb, 1.0),
+                _ftb_alpha(zu, dzu_a, hub, 1.0),
+            ),
+            jnp.minimum(
+                jnp.minimum(
+                    _ftb_alpha(ll, dll_a, hrl, 1.0),
+                    _ftb_alpha(lu, dlu_a, hru, 1.0),
+                ),
+                jnp.minimum(
+                    _ftb_alpha(zeta_u, dzu_ua, jnp.ones_like(u, bool), 1.0),
+                    _ftb_alpha(zeta_v, dzv_va, jnp.ones_like(v, bool), 1.0),
+                ),
+            ),
+        )
+
+        # single common step size: with Q != 0 separate primal/dual steps
+        # leave a (ap-ad)*Q*dp term in the dual residual that can stall
+        aa = jnp.minimum(ap, ad)
+        mu_aff = compl_mu(
+            p + aa * dp_a, s + aa * ds_a, u + aa * du_a, v + aa * dv_a,
+            zl + aa * dzl_a, zu + aa * dzu_a, ll + aa * dll_a, lu + aa * dlu_a,
+            zeta_u + aa * dzu_ua, zeta_v + aa * dzv_va,
+        )
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
+        smu = sigma * mu
+
+        # ---- corrector (Mehrotra second-order terms) ----
+        cor = newton(
+            jnp.where(hlb, smu - a_pl * zl - dp_a * dzl_a, 0.0),
+            jnp.where(hub, smu - a_pu * zu - (-dp_a) * dzu_a, 0.0),
+            jnp.where(hrl, smu - a_sl * ll - ds_a * dll_a, 0.0),
+            jnp.where(hru, smu - a_su * lu - (-ds_a) * dlu_a, 0.0),
+            smu - u * zeta_u - du_a * dzu_ua,
+            smu - v * zeta_v - dv_a * dzv_va,
+        )
+        (dp, ds, du, dv, dy, dzl, dzu, dll, dlu, dzeta_u, dzeta_v) = cor
+
+        ap = jnp.minimum(
+            jnp.minimum(
+                _ftb_alpha(a_pl, dp, hlb, tau),
+                _ftb_alpha(a_pu, -dp, hub, tau),
+            ),
+            jnp.minimum(
+                jnp.minimum(
+                    _ftb_alpha(a_sl, ds, hrl, tau),
+                    _ftb_alpha(a_su, -ds, hru, tau),
+                ),
+                jnp.minimum(
+                    _ftb_alpha(u, du, jnp.ones_like(u, bool), tau),
+                    _ftb_alpha(v, dv, jnp.ones_like(v, bool), tau),
+                ),
+            ),
+        )
+        ad = jnp.minimum(
+            jnp.minimum(
+                _ftb_alpha(zl, dzl, hlb, tau),
+                _ftb_alpha(zu, dzu, hub, tau),
+            ),
+            jnp.minimum(
+                jnp.minimum(
+                    _ftb_alpha(ll, dll, hrl, tau),
+                    _ftb_alpha(lu, dlu, hru, tau),
+                ),
+                jnp.minimum(
+                    _ftb_alpha(zeta_u, dzeta_u, jnp.ones_like(u, bool), tau),
+                    _ftb_alpha(zeta_v, dzeta_v, jnp.ones_like(v, bool), tau),
+                ),
+            ),
+        )
+
+        alpha = jnp.minimum(ap, ad)
+        new = dict(st)
+        new["p"] = p + alpha * dp
+        new["s"] = jnp.where(eq, rl, s + alpha * ds)
+        new["u"] = u + alpha * du
+        new["v"] = v + alpha * dv
+        new["y"] = y + alpha * dy
+        new["zl"] = jnp.where(hlb, zl + alpha * dzl, 0.0)
+        new["zu"] = jnp.where(hub, zu + alpha * dzu, 0.0)
+        new["ll"] = jnp.where(hrl, ll + alpha * dll, 0.0)
+        new["lu"] = jnp.where(hru, lu + alpha * dlu, 0.0)
+        new["zeta_u"] = zeta_u + alpha * dzeta_u
+        new["zeta_v"] = zeta_v + alpha * dzeta_v
+        new["delta"] = fact_K.delta * 0.1  # decay the warm-started regularization
+        new["iters"] = st["iters"] + 1
+
+        pri, dual = scaled_residuals(new)
+        # relative complementarity: normalize by the primal objective scale.
+        # For an infeasible QP in elastic mode the objective is ~w * viol
+        # (huge), and the elastic dual zeta_u = w + y suffers eps*w
+        # cancellation as y -> -w; the relative measure converges well before
+        # that regime while remaining the absolute measure for ordinary QPs.
+        mu_total = compl_mu(
+            new["p"], new["s"], new["u"], new["v"], new["zl"], new["zu"],
+            new["ll"], new["lu"], new["zeta_u"], new["zeta_v"],
+        )
+        obj_scale = 1.0 + jnp.abs(primal_objective(new["p"], new["u"], new["v"]))
+        gap = mu_total * n_pairs / obj_scale
+        new["pri_res"], new["dual_res"], new["gap"] = pri, dual, gap
+        new["converged"] = jnp.logical_and(
+            pri < opts.tol, jnp.logical_and(dual < opts.tol, gap < opts.tol)
+        )
+
+        # numerical-breakdown backstop: if anything went non-finite, revert to
+        # the previous iterate and stop (converged stays False -> the caller's
+        # "unexpected status" triage path, mirroring the reference's handling
+        # of a sub-solver that errors out, sqp_trust_region.jl:169-178)
+        finite = jnp.array(True)
+        for k in ("p", "s", "u", "v", "y", "zl", "zu", "ll", "lu",
+                  "zeta_u", "zeta_v"):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(new[k])))
+        out = {}
+        for k in new:
+            old_val = st[k] if k in st else new[k]
+            out[k] = jax.tree.map(
+                lambda a, b: jnp.where(finite, a, b), new[k], old_val
+            )
+        out["failed"] = ~finite
+        out["iters"] = new["iters"]
+        return out
+
+    st = lax.while_loop(cond_fn, body_fn, state0)
+
+    # reduced costs: for fixed variables, recover from stationarity of the
+    # ORIGINAL problem and sign-split (mirrors subproblem_JuMP.jl:543-550)
+    redcost_fixed = Q @ st["p"] + c + A.T @ st["y"]
+    mult_lo = jnp.where(fixed, _pos(redcost_fixed), st["zl"])
+    mult_up = jnp.where(fixed, _pos(-redcost_fixed), st["zu"])
+    p_out = jnp.where(fixed, fixval, st["p"])
+
+    return QpSolution(
+        p=p_out,
+        y=st["y"],
+        mult_lo=mult_lo,
+        mult_up=mult_up,
+        slack_u=st["u"],
+        slack_v=st["v"],
+        iters=st["iters"],
+        converged=st["converged"],
+        pri_res=st["pri_res"],
+        dual_res=st["dual_res"],
+        gap=st["gap"],
+    )

@@ -1,0 +1,92 @@
+"""Solver configuration.
+
+Mirrors the reference's flat ``Parameters`` kwdef struct
+(``/root/reference/src/parameters.jl:1-39``): same knob names and defaults so a
+user of the reference can carry their configuration over.  On top of that it
+adds the TPU-native knobs (QP interior-point controls, dtype/precision policy)
+that have no counterpart in the reference because the reference delegates the
+QP subproblem to an external solver (``src/parameters.jl:6-7``).
+
+The dataclass is frozen and hashable so it can be passed as a *static* argument
+to ``jax.jit`` — everything in here shapes the compiled program, not traced
+values.  String get/set helpers mirror ``get_parameter``/``set_parameter``
+(``src/parameters.jl:32-39``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class Parameters:
+    """Algorithmic parameters (reference: src/parameters.jl)."""
+
+    # --- reference-parity knobs (names and defaults from src/parameters.jl) ---
+    mode: str = "Normal"
+    algorithm: str = "SQP-TR"  # "SQP-TR" (trust region) or "SQP-LS" (line search)
+    # hessian handling: "exact" (AD Lagrangian Hessian) or "none" (LP subproblems,
+    # i.e. SLP mode; reference forces "none" when no Hessian callback exists,
+    # src/MOI_wrapper.jl:1184-1188)
+    hessian_type: str = "exact"
+
+    OutputFlag: int = 1
+    StatisticsFlag: int = 0
+
+    tol_direction: float = 1.0e-8
+    tol_residual: float = 1.0e-8
+    tol_infeas: float = 1.0e-8
+    max_iter: int = 3000
+    time_limit: float = float("inf")  # unimplemented in reference too (parameters.jl:21)
+    init_mu: float = 1.0e0
+    max_mu: float = 1.0e10
+    rho: float = 0.8
+    eta: float = 0.4
+    tau: float = 0.9
+    min_alpha: float = 1.0e-6
+    tr_size: float = 10.0
+    use_soc: bool = False
+
+    # --- TPU-native knobs (no reference counterpart; replaces the external
+    # Ipopt "external_optimizer" of src/parameters.jl:6-7) ---
+    #: maximum interior-point iterations per QP subproblem solve
+    qp_max_iter: int = 50
+    #: convergence tolerance of the QP interior-point solver
+    qp_tol: float = 1.0e-10
+    #: elastic weight used to emulate hard constraints (rows whose slack is not
+    #: freed); large values pin the elastic slacks to ~mu/w.
+    elastic_weight: float = 1.0e8
+    #: slack mass above which the (hard-constrained) QP is declared infeasible,
+    #: triggering feasibility restoration (reference triggers on the external
+    #: solver reporting INFEASIBLE, sqp_trust_region.jl:151)
+    qp_infeas_tol: float = 1.0e-6
+    #: fraction-to-boundary factor of the interior-point solver
+    qp_ftb: float = 0.995
+    #: compute dtype: "float64" or "float32"
+    dtype: str = "float64"
+    #: KKT linear-solve policy: "direct" (Cholesky in compute dtype) or
+    #: "mixed_ir" (factorize in float32, iteratively refine in compute dtype —
+    #: the TPU-native path: MXU-speed factorization, f64-grade accuracy)
+    kkt_precision: str = "direct"
+    #: number of iterative-refinement sweeps when kkt_precision="mixed_ir"
+    kkt_ir_steps: int = 2
+
+    def replace(self, **kw: Any) -> "Parameters":
+        return dataclasses.replace(self, **kw)
+
+
+def get_parameter(params: Parameters, pname: str) -> Any:
+    """String-keyed read, mirroring reference get_parameter (parameters.jl:32)."""
+    return getattr(params, pname)
+
+
+def set_parameter(params: Parameters, pname: str, val: Any) -> Parameters:
+    """String-keyed functional update, mirroring set_parameter (parameters.jl:36).
+
+    The reference mutates in place; our Parameters is frozen (it is jit-static),
+    so this returns a new instance.
+    """
+    if not hasattr(params, pname):
+        raise KeyError(f"unknown parameter: {pname!r}")
+    return params.replace(**{pname: val})

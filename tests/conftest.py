@@ -1,0 +1,24 @@
+"""Test configuration: CPU backend with 8 virtual devices + float64.
+
+Multi-chip sharding logic is tested on a fake CPU mesh via
+``--xla_force_host_platform_device_count`` (the standard way to test pjit
+logic without a pod — SURVEY §4 test-plan item c); numerics run in float64.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: repeated test runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/sqpsolver_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

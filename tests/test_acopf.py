@@ -1,0 +1,72 @@
+"""ACOPF workload tests (reference test/opf.jl + examples/acopf semantics):
+trust-region SQP on case9 in both polar and rectangular formulations, with
+the example's tolerances (tol_infeas 1e-6, tol_residual 1e-4, use_soc,
+examples/acopf/opf.jl:74-79)."""
+
+import numpy as np
+import pytest
+
+import sqpsolver_tpu as sqp
+from sqpsolver_tpu.models.acopf import acopf_polar, acopf_rect, load_scenarios
+from sqpsolver_tpu.models.power import case9, synthetic_case
+from sqpsolver_tpu.parallel.batch import batch_data, make_batch_solver, summarize_batch
+
+# the reference ACOPF config (examples/acopf/opf.jl:72-80)
+PARAMS = sqp.Parameters(
+    max_iter=100,
+    OutputFlag=0,
+    tol_infeas=1.0e-6,
+    tol_residual=1.0e-4,
+    use_soc=True,
+)
+
+
+def _check_opf_solution(res, nlp, case):
+    assert res.success, res.status_name
+    assert res.prim_infeas <= 1e-6
+    nb = case.nb
+    # generation covers load + losses (losses positive, < 10%)
+    ng_slice = slice(2 * nb, 2 * nb + case.ng)
+    total_gen = float(np.sum(res.x[ng_slice]))
+    total_load = float(np.sum(case.bus_pd))
+    assert total_gen > total_load
+    assert total_gen < 1.12 * total_load + 0.1
+
+
+def test_case9_polar():
+    case = case9()
+    nlp = acopf_polar(case, scenario_batchable=False)
+    res = sqp.optimize(nlp, PARAMS)
+    _check_opf_solution(res, nlp, case)
+    # WSCC case9 AC-OPF optimum is ~5296.7 $/h with MATPOWER data; our data
+    # matches it, so pin the objective loosely as a regression anchor
+    assert 5000.0 < res.obj_val < 5650.0, res.obj_val
+
+
+def test_case9_rect_matches_polar():
+    case = case9()
+    res_p = sqp.optimize(acopf_polar(case, scenario_batchable=False), PARAMS)
+    res_r = sqp.optimize(acopf_rect(case, scenario_batchable=False), PARAMS)
+    assert res_p.success and res_r.success
+    np.testing.assert_allclose(res_r.obj_val, res_p.obj_val, rtol=1e-4)
+
+
+def test_case9_scenario_batch():
+    case = case9()
+    nlp = acopf_polar(case)
+    B = 8
+    theta = load_scenarios(case, B, seed=3, spread=0.05)
+    data = batch_data(nlp, B, theta=theta)
+    out = make_batch_solver(nlp, PARAMS)(data)
+    summ = summarize_batch(out)
+    assert summ["n_success"] == B, summ
+    # objectives increase with load scale on average
+    assert summ["prim_infeas_max"] <= 1e-6
+
+
+def test_synthetic_case30_polar():
+    case = synthetic_case(30, seed=1)
+    nlp = acopf_polar(case, scenario_batchable=False)
+    res = sqp.optimize(nlp, PARAMS)
+    assert res.success, res.status_name
+    assert res.prim_infeas <= 1e-6
