@@ -217,7 +217,26 @@ def make_solver(
         return jnp.where(jnp.isfinite(phi), phi, jnp.asarray(jnp.inf, dtype))
 
     # ---------------------------------------------------------- QP solves ---
-    def solve_subproblem(st: SqpState, d: NLPData):
+    def convexify(H):
+        """Shift an indefinite Lagrangian Hessian to PSD:
+        H + max(0, -lambda_min + eps) I.
+
+        The reference hands possibly-indefinite QPs to Ipopt, which globalizes
+        nonconvex QPs internally; a Mehrotra IPM requires convexity, so the
+        shift happens here at the SQP level (Levenberg-style).  Near a KKT
+        point p* -> 0, so the convexified QP's multipliers converge to the
+        true NLP multipliers (shift * p -> 0) and the q-model/pred ratio still
+        uses the ORIGINAL H (compute_qmodel parity, sqp_trust_region.jl:487).
+        """
+        if not exact_hessian:
+            return H
+        lmin = jnp.linalg.eigvalsh(H)[0]
+        shift = jnp.maximum(0.0, -lmin) + jnp.where(
+            lmin < 1e-8, 1e-8 * (1.0 + jnp.abs(lmin)), 0.0
+        )
+        return H + shift * jnp.eye(n, dtype=dtype)
+
+    def solve_subproblem(st: SqpState, d: NLPData, H_qp):
         """Normal/FR trust-region QP via input selection (no control flow —
         mirrors the sub_optimize! dispatch at sqp_trust_region.jl:314-331)."""
         rl = d.g_l - st.E
@@ -229,7 +248,7 @@ def make_solver(
         freed = jnp.logical_and(violated, ~is_linear_row)
         w_fr = jnp.where(freed, jnp.asarray(1.0, dtype), w_big)
         w = jnp.where(st.fr, w_fr, w_big)
-        Q = jnp.where(st.fr, jnp.zeros_like(st.H), st.H)
+        Q = jnp.where(st.fr, jnp.zeros_like(st.H), H_qp)
         c = jnp.where(st.fr, jnp.zeros_like(st.df), st.df)
         sol = solve_qp(Q, c, st.J, rl, ru, lb, ub, w, opts=ipm_opts)
         # infeasibility signal: slack mass on rows whose slacks are NOT freed
@@ -247,7 +266,7 @@ def make_solver(
         qp_bad = jnp.logical_and(qp_bad, ~infeasible)
         return sol, infeasible, qp_bad
 
-    def solve_soc(st: SqpState, E_trial, d: NLPData):
+    def solve_soc(st: SqpState, E_trial, d: NLPData, H_qp):
         """Second-order correction QP (sqp_trust_region.jl:341-360):
         re-linearize the residual at x+p and resolve."""
         E_soc = E_trial - st.J @ st.p
@@ -255,7 +274,7 @@ def make_solver(
         ru = d.g_u - E_soc
         lb, ub = _trust_region_box(st.x, d.x_l, d.x_u, st.tr)
         w = jnp.full((m,), w_big, dtype)
-        sol = solve_qp(st.H, st.df, st.J, rl, ru, lb, ub, w, opts=ipm_opts)
+        sol = solve_qp(H_qp, st.df, st.J, rl, ru, lb, ub, w, opts=ipm_opts)
         return st.p + sol.p, sol.iters
 
     def qmodel(st: SqpState, p, d: NLPData, with_step):
@@ -358,7 +377,8 @@ def make_solver(
         )
 
         # 2. QP subproblem + dual/penalty bookkeeping (compute_step!, :370-380)
-        sol, qp_infeasible, qp_bad = solve_subproblem(st, d)
+        H_qp = convexify(st.H)
+        sol, qp_infeasible, qp_bad = solve_subproblem(st, d, H_qp)
         failed = jnp.logical_or(qp_infeasible, qp_bad)
         p = jnp.where(failed, 0.0, sol.p)
         p_lam = jnp.where(failed, 0.0, sol.y - st.lam)
@@ -438,15 +458,26 @@ def make_solver(
         st = st._replace(stats=record_stats(st, sol.iters))
 
         # 5. tiny-direction test (:187-196): in FR exit restoration and
-        #    continue; otherwise converged
+        #    continue; otherwise converged.
+        #    Deviation (improvement): a tiny FR direction at a point that is
+        #    still infeasible means restoration converged to a local minimizer
+        #    of infeasibility -> Infeasible_Problem_Detected.  The reference
+        #    exits FR and re-enters it forever (2 iterations per cycle) until
+        #    the iteration limit.
         tiny = p_norm <= tol_dir
         tiny_live = jnp.logical_and(live_step, tiny)
-        fr_exit_tiny = jnp.logical_and(tiny_live, st.fr)
+        fr_tiny = jnp.logical_and(tiny_live, st.fr)
+        fr_stuck = jnp.logical_and(fr_tiny, st.prim_infeas > tol_inf)
+        fr_exit_tiny = jnp.logical_and(fr_tiny, ~fr_stuck)
         conv_tiny = jnp.logical_and(tiny_live, ~st.fr)
         st = st._replace(
             fr=jnp.logical_and(st.fr, ~fr_exit_tiny),
-            ret=jnp.where(conv_tiny, Status.SOLVE_SUCCEEDED, st.ret),
-            done=jnp.logical_or(st.done, conv_tiny),
+            ret=jnp.where(
+                conv_tiny,
+                Status.SOLVE_SUCCEEDED,
+                jnp.where(fr_stuck, Status.INFEASIBLE_PROBLEM_DETECTED, st.ret),
+            ),
+            done=jnp.logical_or(st.done, jnp.logical_or(conv_tiny, fr_stuck)),
         )
         live_step = jnp.logical_and(live_step, ~tiny)
 
@@ -492,7 +523,7 @@ def make_solver(
             try_soc = jnp.logical_and(
                 jnp.logical_and(~accept, c_k > 0.0), ~st.fr
             )
-            p_soc, soc_qp_iters = solve_soc(st, E_t, d)
+            p_soc, soc_qp_iters = solve_soc(st, E_t, d, H_qp)
             x_soc = st.x + p_soc
             f_soc = nlp.obj(x_soc, theta)
             E_soc_t = nlp.cons(x_soc, theta)
@@ -627,7 +658,11 @@ def make_solver(
         def cond_fn(st: SqpState):
             return jnp.logical_and(~st.done, st.iter <= max_iter)
 
-        st = lax.while_loop(cond_fn, partial(body, d=d), st0)
+        # NB: a plain closure, NOT functools.partial(body, d=d) — jax's
+        # debug_info reprs partial-bound arguments, and repr of an
+        # array-holding pytree forces device fetches of traced values
+        # (observed deadlocking under pytest's output capture).
+        st = lax.while_loop(cond_fn, lambda s: body(s, d), st0)
 
         # iteration-limit downgrade (sqp.jl:215-224)
         hit_limit = ~st.done

@@ -7,7 +7,9 @@ logic without a pod — SURVEY §4 test-plan item c); numerics run in float64.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the environment may pre-set JAX_PLATFORMS (e.g. the TPU
+# "axon" tunnel); tests must run on CPU with the fake 8-device mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,9 +18,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the jaxtyping pytest plugin imports jax before this conftest runs, so the
+# env var alone is too late — force the platform through the live config too
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: repeated test runs skip XLA recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/sqpsolver_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# (disable with SQP_NO_JAX_CACHE=1 e.g. when several jax processes run
+# concurrently)
+if not os.environ.get("SQP_NO_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sqpsolver_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
