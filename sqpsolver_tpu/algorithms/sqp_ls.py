@@ -96,6 +96,7 @@ def make_ls_solver(
         ftb=params.qp_ftb,
         factor_dtype=("float32" if params.kkt_precision == "mixed_ir" else "same"),
         ir_steps=params.kkt_ir_steps,
+        kkt_backend=params.kkt_backend,
     )
     w_big = jnp.asarray(params.elastic_weight, dtype)
     is_linear_row = jnp.arange(m) < n_lin
@@ -163,6 +164,12 @@ def make_ls_solver(
         Q = jnp.where(fr, jnp.zeros_like(H_qp), H_qp)
         c = jnp.where(fr, jnp.zeros_like(df), df)
         sol = solve_qp(Q, c, J, rl, ru, lb, ub, w, opts=ipm_opts)
+        # drop step-box duals that belong to the fixed |p|<=1000 box rather
+        # than a true variable bound (see sqp_tr.solve_subproblem)
+        sol = sol._replace(
+            mult_lo=jnp.where(v_lb >= -_LS_TR, sol.mult_lo, 0.0),
+            mult_up=jnp.where(v_ub <= _LS_TR, sol.mult_up, 0.0),
+        )
         hard = jnp.where(fr, ~freed, jnp.ones((m,), bool))
         hard_slack = jnp.max(
             jnp.where(hard, sol.slack_u + sol.slack_v, 0.0), initial=0.0

@@ -182,6 +182,7 @@ def make_solver(
             "float32" if params.kkt_precision == "mixed_ir" else "same"
         ),
         ir_steps=params.kkt_ir_steps,
+        kkt_backend=params.kkt_backend,
     )
     w_big = jnp.asarray(params.elastic_weight, dtype)
     # row index helper: linear rows lead (canonical ordering, SURVEY §3.2)
@@ -251,6 +252,19 @@ def make_solver(
         Q = jnp.where(st.fr, jnp.zeros_like(st.H), H_qp)
         c = jnp.where(st.fr, jnp.zeros_like(st.df), st.df)
         sol = solve_qp(Q, c, st.J, rl, ru, lb, ub, w, opts=ipm_opts)
+        # keep a box dual as an NLP bound multiplier only when the TRUE
+        # variable bound (not the trust region) is the active side of the
+        # clipped box.  The reference stores JuMP reduced costs of the
+        # TR-clipped variables directly (subproblem_JuMP.jl:543-550), which
+        # lets TR-bound duals pollute mult_x_L/U — for quadratic objectives
+        # the polluted KT residual then vanishes at non-stationary points
+        # (false convergence observed on hs012).
+        bound_lo_active = (d.x_l - st.x) >= -st.tr
+        bound_up_active = (d.x_u - st.x) <= st.tr
+        sol = sol._replace(
+            mult_lo=jnp.where(bound_lo_active, sol.mult_lo, 0.0),
+            mult_up=jnp.where(bound_up_active, sol.mult_up, 0.0),
+        )
         # infeasibility signal: slack mass on rows whose slacks are NOT freed
         hard = jnp.where(st.fr, ~freed, jnp.ones((m,), bool))
         hard_slack = jnp.max(
@@ -391,6 +405,21 @@ def make_solver(
                 jnp.maximum(_inf_norm(st.mult_lo), _inf_norm(st.mult_up)),
             ),
         )
+        # Deviation (bug fix): also track the FRESH QP multipliers (with a
+        # safety factor).  The reference updates mu from the stale duals
+        # (sqp_trust_region.jl:378), which only refresh on acceptance — once
+        # the true multiplier exceeds mu, the l1 penalty stops being exact,
+        # pred < 0 rejects every step, the duals never refresh, and the solve
+        # deadlocks (observed stalling hs014/hs015 at viol ~ 1e-6 forever).
+        # FR iterations are excluded: restoration-phase duals are for a
+        # different objective and would inflate mu spuriously.
+        mu_fresh = 1.1 * jnp.maximum(
+            _inf_norm(sol.y),
+            jnp.maximum(_inf_norm(sol.mult_lo), _inf_norm(sol.mult_up)),
+        )
+        use_fresh = jnp.logical_and(~failed, ~st.fr)
+        mu = jnp.maximum(mu, jnp.where(use_fresh, mu_fresh, 0.0))
+        mu = jnp.minimum(mu, jnp.asarray(params.max_mu, dtype))
         st = st._replace(
             p=p, mu=mu, qp_iters_total=st.qp_iters_total + sol.iters
         )
@@ -399,10 +428,15 @@ def make_solver(
         live = ~st.done
 
         # 3. status triage (sqp_trust_region.jl:144-178)
-        #    3a. possibly unbounded: TR at max and step on its boundary
+        #    3a. possibly unbounded: TR at max and step on its boundary.
+        #    The boundary test is looser than the reference's isapprox
+        #    (sqp_trust_region.jl:146): an interior-point QP leaves the step
+        #    ~sqrt(mu) inside a *degenerately* active bound (zero multiplier,
+        #    exactly the unbounded-descent case), so exact equality never
+        #    fires.
+        on_boundary_loose = p_norm >= (1.0 - 1.0e-5) * st.tr
         unbounded = jnp.logical_and(
-            ~failed,
-            jnp.logical_and(st.tr == tr_max, _isapprox(p_norm, st.tr)),
+            ~failed, jnp.logical_and(st.tr == tr_max, on_boundary_loose)
         )
         set_unbounded = jnp.logical_and(live, unbounded)
         st = st._replace(
@@ -425,8 +459,15 @@ def make_solver(
         )
         live = ~st.done
         fr_enter = jnp.logical_and(live, jnp.logical_and(qp_infeasible, ~st.fr))
+        # re-base the merit to the FR merit (pure l1 violation) on entry.
+        # Deviation (bug fix): the reference only refreshes phi after an
+        # accepted step, so FR entered right after a rejection compares FR
+        # trial merits against the stale f + mu*viol value and rejects every
+        # restoration step until the TR collapses.
+        phi_fr = viol1(st.E, st.x, d)
         st = st._replace(
             fr=jnp.logical_or(st.fr, fr_enter),
+            phi=jnp.where(fr_enter, phi_fr, st.phi),
             n_fr_iters=st.n_fr_iters + fr_enter.astype(jnp.int32),
         )
 
@@ -467,11 +508,19 @@ def make_solver(
         tiny = p_norm <= tol_dir
         tiny_live = jnp.logical_and(live_step, tiny)
         fr_tiny = jnp.logical_and(tiny_live, st.fr)
-        fr_stuck = jnp.logical_and(fr_tiny, st.prim_infeas > tol_inf)
+        # "genuinely infeasible" needs clear margin over tol_infeas: near a
+        # solution with active constraints, prim_infeas sits slightly above
+        # tol while the iterates are fine — those cases exit FR and continue
+        fr_stuck = jnp.logical_and(
+            fr_tiny, st.prim_infeas > jnp.sqrt(jnp.asarray(tol_inf, dtype))
+        )
         fr_exit_tiny = jnp.logical_and(fr_tiny, ~fr_stuck)
         conv_tiny = jnp.logical_and(tiny_live, ~st.fr)
+        # symmetric merit re-base when leaving FR and continuing normally
+        phi_normal = st.f + st.mu * viol1(st.E, st.x, d)
         st = st._replace(
             fr=jnp.logical_and(st.fr, ~fr_exit_tiny),
+            phi=jnp.where(fr_exit_tiny, phi_normal, st.phi),
             ret=jnp.where(
                 conv_tiny,
                 Status.SOLVE_SUCCEEDED,
@@ -486,7 +535,7 @@ def make_solver(
             st.prim_infeas <= tol_inf,
             jnp.logical_and(
                 st.dual_infeas <= tol_res,
-                jnp.logical_and(~_isapprox(st.tr, p_norm), ~st.fr),
+                jnp.logical_and(~on_boundary_loose, ~st.fr),
             ),
         )
         conv_kkt = jnp.logical_and(live_step, kkt_ok)
@@ -539,8 +588,9 @@ def make_solver(
 
         any_accept = jnp.logical_or(accept, soc_accept)
         # TR update: expand only on a plain accept that hit the boundary
+        # (same IPM-aware boundary test as stage 3a)
         tr_exp = jnp.where(
-            jnp.logical_and(accept, _isapprox(st.tr, p_norm)),
+            jnp.logical_and(accept, on_boundary_loose),
             jnp.minimum(2.0 * st.tr, tr_max),
             st.tr,
         )
@@ -579,9 +629,13 @@ def make_solver(
     def init_state(d: NLPData) -> SqpState:
         theta = d.theta
         x0 = initial_point(d)
-        f0, df0, E0, J0, H0 = eval_all(x0, jnp.zeros((m,), dtype), theta)
-
-        lam = jnp.zeros((m,), dtype)
+        # dual warm start (reference MOI_wrapper.jl:1200-1222)
+        lam = (
+            jnp.zeros((m,), dtype)
+            if d.lam0 is None
+            else jnp.asarray(d.lam0, dtype)
+        )
+        f0, df0, E0, J0, H0 = eval_all(x0, lam, theta)
         mlo = jnp.zeros((n,), dtype)
         mup = jnp.zeros((n,), dtype)
 
@@ -652,18 +706,20 @@ def make_solver(
         )
 
     # ------------------------------------------------------------- driver ---
-    def solve(d: NLPData) -> SqpResult:
-        st0 = init_state(d)
+    def run_until(st: SqpState, d: NLPData, limit) -> SqpState:
+        """Advance the loop until done or ``iter > limit`` (jittable; the
+        chunked form behind checkpoint/resume, utils/checkpoint.py)."""
 
         def cond_fn(st: SqpState):
-            return jnp.logical_and(~st.done, st.iter <= max_iter)
+            return jnp.logical_and(~st.done, st.iter <= limit)
 
         # NB: a plain closure, NOT functools.partial(body, d=d) — jax's
         # debug_info reprs partial-bound arguments, and repr of an
         # array-holding pytree forces device fetches of traced values
         # (observed deadlocking under pytest's output capture).
-        st = lax.while_loop(cond_fn, lambda s: body(s, d), st0)
+        return lax.while_loop(cond_fn, lambda s: body(s, d), st)
 
+    def finalize(st: SqpState, d: NLPData) -> SqpResult:
         # iteration-limit downgrade (sqp.jl:215-224)
         hit_limit = ~st.done
         limit_ret = jnp.where(
@@ -697,6 +753,9 @@ def make_solver(
             stats=st.stats,
         )
 
+    def solve(d: NLPData) -> SqpResult:
+        return finalize(run_until(init_state(d), d, max_iter), d)
+
     def solve_with_clock(d: NLPData) -> SqpResult:
         solve_t0[0] = time.time()
         if log_iters:
@@ -708,4 +767,8 @@ def make_solver(
         return solve(d)
 
     solve_with_clock._raw = solve  # batched/sharded paths use the pure fn
+    # chunked-stepping handles for checkpoint/resume (utils/checkpoint.py)
+    solve_with_clock._init_state = init_state
+    solve_with_clock._run_until = run_until
+    solve_with_clock._finalize = finalize
     return solve_with_clock

@@ -278,6 +278,186 @@ def acopf_rect(case: PowerCase, scenario_batchable: bool = True) -> NLP:
     )
 
 
+def acopf_wr(case: PowerCase, scenario_batchable: bool = True) -> NLP:
+    """W-space rectangular (ACWR) formulation — parity with the reference's
+    custom ``ACWRPowerModel`` (examples/acopf/acwr.jl:22-35).
+
+    Lifted variables ``w_i = vr_i^2 + vi_i^2`` per bus and
+    ``wr_ij = vr_i vr_j + vi_i vi_j``, ``wi_ij = vi_i vr_j - vr_i vi_j`` per
+    bus pair make the power-flow rows *linear* in (w, wr, wi, pg, qg); only
+    the lifting constraints and thermal limits stay nonlinear.  Variable
+    layout: x = [vr, vi (nb each), w (nb), wr, wi (npairs each), pg, qg].
+    """
+    if np.any(case.br_tap != 1.0) or np.any(case.br_shift != 0.0):
+        raise ValueError("acopf_wr supports tap=1, shift=0 branches only")
+    nb, ng, nl = case.nb, case.ng, case.nl
+    (gff, bff, gft, bft, gtf, btf, gtt, btt) = case.admittances()
+    gff, bff, gft, bft, gtf, btf, gtt, btt = (
+        jnp.asarray(np.real(a)) for a in (gff, bff, gft, bft, gtf, btf, gtt, btt)
+    )
+    f_idx = np.asarray(case.br_f)
+    t_idx = np.asarray(case.br_t)
+    # canonical bus pairs (i<j); parallel branches share one (wr, wi)
+    pair_lo = np.minimum(f_idx, t_idx)
+    pair_hi = np.maximum(f_idx, t_idx)
+    pairs, br_pair = np.unique(
+        np.stack([pair_lo, pair_hi], axis=1), axis=0, return_inverse=True
+    )
+    npair = len(pairs)
+    # branch orientation: +1 if (f,t) matches the canonical (lo,hi) pair
+    orient = np.where(f_idx == pair_lo, 1.0, -1.0)
+
+    gs = jnp.asarray(case.bus_gs)
+    bs = jnp.asarray(case.bus_bs)
+    gen_bus = jnp.asarray(case.gen_bus)
+    cost = _objective(case)
+    fj = jnp.asarray(f_idx)
+    tj = jnp.asarray(t_idx)
+    br_pair_j = jnp.asarray(br_pair)
+    orient_j = jnp.asarray(orient)
+    plo = jnp.asarray(pairs[:, 0])
+    phi_ = jnp.asarray(pairs[:, 1])
+
+    n = 3 * nb + 2 * npair + 2 * ng
+    has_rate = np.isfinite(case.br_rate) & (case.br_rate > 0)
+    rate2 = np.where(has_rate, case.br_rate**2, 1.0e4)
+
+    def split(x):
+        vr = x[:nb]
+        vi = x[nb : 2 * nb]
+        w = x[2 * nb : 3 * nb]
+        wr = x[3 * nb : 3 * nb + npair]
+        wi = x[3 * nb + npair : 3 * nb + 2 * npair]
+        pg = x[3 * nb + 2 * npair : 3 * nb + 2 * npair + ng]
+        qg = x[3 * nb + 2 * npair + ng :]
+        return vr, vi, w, wr, wi, pg, qg
+
+    def f(x, theta=None):
+        *_, pg, _ = split(x)
+        return cost(pg)
+
+    def g(x, theta=None):
+        vr, vi, w, wr, wi, pg, qg = split(x)
+        pd = jnp.asarray(theta["pd"]) if theta is not None else jnp.asarray(case.bus_pd)
+        qd = jnp.asarray(theta["qd"]) if theta is not None else jnp.asarray(case.bus_qd)
+        wr_b = wr[br_pair_j]
+        wi_b = wi[br_pair_j] * orient_j  # wi antisymmetric under direction
+        wf = w[fj]
+        wt = w[tj]
+        # branch flows, linear in (w, wr, wi)
+        p_f = gff * wf + gft * wr_b + bft * wi_b
+        q_f = -bff * wf - bft * wr_b + gft * wi_b
+        p_t = gtt * wt + gtf * wr_b - btf * wi_b
+        q_t = -btt * wt - btf * wr_b - gtf * wi_b
+        p_inj = (
+            jnp.zeros(nb, x.dtype).at[gen_bus].add(pg)
+            - pd
+            - gs * w
+            - jnp.zeros(nb, x.dtype).at[fj].add(p_f)
+            - jnp.zeros(nb, x.dtype).at[tj].add(p_t)
+        )
+        q_inj = (
+            jnp.zeros(nb, x.dtype).at[gen_bus].add(qg)
+            - qd
+            + bs * w
+            - jnp.zeros(nb, x.dtype).at[fj].add(q_f)
+            - jnp.zeros(nb, x.dtype).at[tj].add(q_t)
+        )
+        # nonlinear lifting rows (acwr.jl:28-34)
+        link_w = w - (vr * vr + vi * vi)
+        link_wr = wr - (vr[plo] * vr[phi_] + vi[plo] * vi[phi_])
+        link_wi = wi - (vi[plo] * vr[phi_] - vr[plo] * vi[phi_])
+        s_from = p_f * p_f + q_f * q_f
+        s_to = p_t * p_t + q_t * q_t
+        return jnp.concatenate(
+            [
+                vi[case.ref_bus][None],  # linear: ref angle
+                p_inj,  # linear in this space
+                q_inj,  # linear
+                link_w,
+                link_wr,
+                link_wi,
+                s_from,
+                s_to,
+            ]
+        )
+
+    m = 1 + 2 * nb + nb + 2 * npair + 2 * nl
+    num_linear = 1 + 2 * nb
+    g_l = np.concatenate(
+        [
+            np.zeros(1 + 2 * nb),
+            np.zeros(nb + 2 * npair),
+            np.full(2 * nl, -INF),
+        ]
+    )
+    g_u = np.concatenate(
+        [np.zeros(1 + 2 * nb), np.zeros(nb + 2 * npair), rate2, rate2]
+    )
+
+    pg0, qg0 = _start_point(case, n)
+    x0 = np.concatenate(
+        [
+            np.ones(nb),  # vr
+            np.zeros(nb),  # vi
+            np.ones(nb),  # w
+            np.ones(npair),  # wr
+            np.zeros(npair),  # wi
+            pg0,
+            qg0,
+        ]
+    )
+    vmax2 = case.bus_vmax**2
+    pair_wmax = case.bus_vmax[pairs[:, 0]] * case.bus_vmax[pairs[:, 1]]
+    x_l = np.concatenate(
+        [
+            np.full(nb, -INF),
+            np.full(nb, -INF),
+            case.bus_vmin**2,
+            -pair_wmax,
+            -pair_wmax,
+            case.gen_pmin,
+            case.gen_qmin,
+        ]
+    )
+    x_u = np.concatenate(
+        [
+            np.full(nb, INF),
+            np.full(nb, INF),
+            vmax2,
+            pair_wmax,
+            pair_wmax,
+            case.gen_pmax,
+            case.gen_qmax,
+        ]
+    )
+
+    theta = (
+        {"pd": np.asarray(case.bus_pd), "qd": np.asarray(case.bus_qd)}
+        if scenario_batchable
+        else None
+    )
+    if not scenario_batchable:
+        f_fn, g_fn = (lambda x: f(x, None)), (lambda x: g(x, None))
+    else:
+        f_fn, g_fn = f, g
+
+    return NLP(
+        f=f_fn,
+        g=g_fn,
+        n=n,
+        m=m,
+        x_l=x_l,
+        x_u=x_u,
+        g_l=g_l,
+        g_u=g_u,
+        x0=x0,
+        num_linear=num_linear,
+        theta=theta,
+        name=f"acopf_wr_{case.name}",
+    )
+
+
 def load_scenarios(case: PowerCase, batch: int, seed: int = 0, spread: float = 0.1):
     """Batch of load scenarios: multiplicative perturbations of (pd, qd).
 

@@ -429,10 +429,19 @@ _register(
     x0=np.array([2.5, 0.5, 2.0, -1.0, 0.5]),
 )
 
+def _hs52_obj(x):
+    return (
+        (4.0 * x[0] - x[1]) ** 2
+        + (x[1] + x[2] - 2.0) ** 2
+        + (x[3] - 1.0) ** 2
+        + (x[4] - 1.0) ** 2
+    )
+
+
 _register(
     "hs052",
     f_star=1859.0 / 349.0,
-    f=_hs51_obj,
+    f=_hs52_obj,
     g=lambda x: jnp.stack(
         [
             x[0] + 3.0 * x[1],

@@ -150,7 +150,13 @@ class NLP:
 @dataclasses.dataclass
 class NLPData:
     """Numeric problem data (bounds + start point + scenario parameters) as a
-    pytree of arrays; the unit every batched/sharded solve vmaps over."""
+    pytree of arrays; the unit every batched/sharded solve vmaps over.
+
+    ``lam0`` is an optional warm start for the constraint multipliers
+    (reference ConstraintDualStart / NLPBlockDualStart plumbing,
+    MOI_wrapper.jl:1200-1222), in this framework's sign convention
+    (see algorithms.common).
+    """
 
     x_l: Array
     x_u: Array
@@ -158,9 +164,13 @@ class NLPData:
     g_u: Array
     x0: Array
     theta: object = None
+    lam0: object = None
 
     def tree_flatten(self):
-        return (self.x_l, self.x_u, self.g_l, self.g_u, self.x0, self.theta), None
+        return (
+            self.x_l, self.x_u, self.g_l, self.g_u, self.x0, self.theta,
+            self.lam0,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

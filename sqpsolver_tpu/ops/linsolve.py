@@ -56,6 +56,7 @@ def factorize_spd(
     delta0: Array | float = 0.0,
     *,
     factor_dtype=None,
+    backend: str = "xla",
 ) -> Factorization:
     """Cholesky-factorize ``M + delta I`` with escalating ``delta``.
 
@@ -64,6 +65,9 @@ def factorize_spd(
     NaN-free.  This is the regularized/condensed-KKT stability strategy that
     replaces sparse-LDL' pivoting (pivoting is hostile to fixed-shape TPU
     code; a diagonal shift is branch-free and batchable).
+
+    ``backend``: "xla" (default) or "pallas" (the VMEM-resident blocked
+    kernel in :mod:`sqpsolver_tpu.ops.kkt_pallas`; float32 tiles).
     """
     n = M.shape[-1]
     dtype = M.dtype
@@ -77,8 +81,19 @@ def factorize_spd(
 
     delta0 = jnp.asarray(delta0, dtype)
 
+    if backend == "pallas":
+        from .kkt_pallas import cholesky_pallas
+
+        def _chol(A):
+            return cholesky_pallas(A)
+
+    else:
+
+        def _chol(A):
+            return jnp.linalg.cholesky(A)
+
     def attempt(delta):
-        L = jnp.linalg.cholesky((M + delta * eye).astype(fdtype))
+        L = _chol((M + delta * eye).astype(fdtype))
         return L, _chol_ok(L)
 
     L0, ok0 = attempt(delta0)

@@ -86,11 +86,12 @@ class IpmOptions:
     fixed_var_ridge: float = 1.0e10  # penalty pinning fixed variables (lb==ub)
     factor_dtype: str = "same"  # "same" or "float32" (mixed-precision KKT)
     ir_steps: int = 2  # refinement sweeps when factor_dtype != compute dtype
+    kkt_backend: str = "xla"  # "xla" | "pallas" (ops.kkt_pallas)
 
     def __hash__(self):
         return hash(
             (self.max_iter, self.tol, self.ftb, self.fixed_var_ridge,
-             self.factor_dtype, self.ir_steps)
+             self.factor_dtype, self.ir_steps, self.kkt_backend)
         )
 
 
@@ -303,10 +304,15 @@ def solve_qp(
         E_stiff = jnp.where(stiff, E, 1.0)
 
         K = Qmod + jnp.diag(Dp) + (A.T * invE_soft) @ A
-        fact_K = factorize_spd(K, st["delta"], factor_dtype=fdtype)
+        fact_K = factorize_spd(
+            K, st["delta"], factor_dtype=fdtype, backend=opts.kkt_backend
+        )
         KiAt = solve_factorized(fact_K, A_stiff.T, ir_steps=ir_steps)
         S = A_stiff @ KiAt + jnp.diag(E_stiff)
-        fact_S = factorize_spd(S, jnp.zeros((), dtype), factor_dtype=fdtype)
+        fact_S = factorize_spd(
+            S, jnp.zeros((), dtype), factor_dtype=fdtype,
+            backend=opts.kkt_backend,
+        )
 
         def newton(cc_pl, cc_pu, cc_sl, cc_su, cc_u, cc_v):
             """One Newton solve for given complementarity targets.

@@ -71,6 +71,9 @@ class Parameters:
     kkt_precision: str = "direct"
     #: number of iterative-refinement sweeps when kkt_precision="mixed_ir"
     kkt_ir_steps: int = 2
+    #: KKT factorization backend: "xla" (jnp.linalg.cholesky) or "pallas"
+    #: (VMEM-resident blocked kernel, ops/kkt_pallas.py)
+    kkt_backend: str = "xla"
 
     def replace(self, **kw: Any) -> "Parameters":
         return dataclasses.replace(self, **kw)

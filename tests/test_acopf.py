@@ -70,3 +70,14 @@ def test_synthetic_case30_polar():
     res = sqp.optimize(nlp, PARAMS)
     assert res.success, res.status_name
     assert res.prim_infeas <= 1e-6
+
+
+def test_case9_wspace_matches_polar():
+    """ACWR (W-space) formulation — acwr.jl parity — agrees with polar."""
+    from sqpsolver_tpu.models.acopf import acopf_wr
+
+    case = case9()
+    res_p = sqp.optimize(acopf_polar(case, scenario_batchable=False), PARAMS)
+    res_w = sqp.optimize(acopf_wr(case, scenario_batchable=False), PARAMS)
+    assert res_w.success, res_w.status_name
+    np.testing.assert_allclose(res_w.obj_val, res_p.obj_val, rtol=1e-4)

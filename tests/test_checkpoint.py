@@ -1,0 +1,55 @@
+"""Checkpoint/resume + chunked solving (SURVEY §5.4 TPU-build item)."""
+
+import numpy as np
+
+import sqpsolver_tpu as sqp
+from sqpsolver_tpu.models.hs import hs_problem
+from sqpsolver_tpu.models.toy import toy_nlp
+from sqpsolver_tpu.utils.checkpoint import solve_with_checkpoints
+
+PARAMS = sqp.Parameters(max_iter=200, OutputFlag=0)
+
+
+def test_chunked_matches_monolithic():
+    prob = hs_problem("hs071")
+    direct = sqp.optimize(prob.nlp, PARAMS)
+    chunked = solve_with_checkpoints(
+        prob.nlp, PARAMS, prob.nlp.data(), chunk_iters=7
+    )
+    np.testing.assert_allclose(np.asarray(chunked.x), direct.x, rtol=1e-10)
+    assert int(chunked.iterations) == direct.iterations
+    assert int(chunked.status) == int(direct.status)
+
+
+def test_checkpoint_resume(tmp_path):
+    nlp = toy_nlp()
+    ckdir = str(tmp_path / "ck")
+    # run only a few chunks by limiting max_iter, saving state
+    partial_params = PARAMS.replace(max_iter=3)
+    partial = solve_with_checkpoints(
+        nlp, partial_params, nlp.data(), chunk_iters=1, checkpoint_dir=ckdir
+    )
+    assert int(partial.status) in (
+        sqp.Status.MAXIMUM_ITERATIONS_EXCEEDED,
+        sqp.Status.FEASIBLE_POINT_FOUND,
+    )
+    # resume from the checkpoint with the full budget -> converges
+    full = solve_with_checkpoints(
+        nlp, PARAMS, nlp.data(), chunk_iters=50, checkpoint_dir=ckdir,
+        resume=True,
+    )
+    np.testing.assert_allclose(np.asarray(full.x), [-1.0, -1.0], rtol=1e-4)
+
+
+def test_warm_start_duals():
+    """Dual warm start (MOI_wrapper.jl:1200-1222 parity): seeding the known
+    multipliers speeds convergence."""
+    prob = hs_problem("hs071")
+    cold = sqp.optimize(prob.nlp, PARAMS)
+    data = prob.nlp.data()
+    data.lam0 = np.asarray(cold.mult_g)
+    data.x0 = np.asarray(cold.x)
+    solver = sqp.make_solver(prob.nlp, PARAMS, verbose=False)
+    warm = solver(data)
+    assert int(warm.iterations) <= cold.iterations
+    np.testing.assert_allclose(np.asarray(warm.x), cold.x, atol=1e-6)
