@@ -12,8 +12,9 @@ publishes no numbers, BASELINE.md).
 Environment knobs:
   SQP_BENCH_CASE   bus count of the synthetic network   (default 30)
   SQP_BENCH_BATCH  instance batch size                  (default 32)
-  SQP_BENCH_DTYPE  float64 | float32                    (default float32 on
-                   TPU with mixed-precision KKT, float64 elsewhere)
+  SQP_BENCH_DTYPE  float64 | float32                    (default float64;
+                   the KKT factorization runs in float32 via mixed_ir)
+  SQP_BENCH_PREC   direct | mixed_ir                     (default mixed_ir)
 """
 
 import json
@@ -48,7 +49,7 @@ def main():
     platform = jax.devices()[0].platform
     nbus = int(os.environ.get("SQP_BENCH_CASE", "30"))
     batch = int(os.environ.get("SQP_BENCH_BATCH", "32"))
-    default_dtype = "float32" if platform == "tpu" else "float64"
+    default_dtype = "float64"
     dtype = os.environ.get("SQP_BENCH_DTYPE", default_dtype)
 
     case = case9() if nbus == 9 else synthetic_case(nbus, seed=1)
@@ -63,7 +64,8 @@ def main():
         tol_residual=1.0e-4,
         qp_max_iter=30,
         dtype=dtype,
-        kkt_precision="mixed_ir" if dtype == "float32" else "direct",
+        kkt_precision=os.environ.get("SQP_BENCH_PREC", "mixed_ir"),
+        hessian_shift=os.environ.get("SQP_BENCH_SHIFT", "eigh"),
     )
     import jax.numpy as jnp
 

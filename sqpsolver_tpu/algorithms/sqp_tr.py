@@ -174,9 +174,17 @@ def make_solver(
     collect_stats = bool(params.StatisticsFlag)
     log_iters = bool(params.OutputFlag) if verbose is None else verbose
 
+    # dtype-aware QP tolerance floor: float32 cannot reach 1e-10 residuals
+    # (~30*eps is the practical interior-point limit per dtype), and
+    # float32-factorized mixed-precision refinement bottoms out around 1e-6
+    # on barrier-ill-conditioned KKT systems — ample for the 1e-6/1e-4
+    # ACOPF tolerance regime; use direct float64 for 1e-8-grade solves
+    qp_tol_eff = max(params.qp_tol, 30.0 * float(jnp.finfo(dtype).eps))
+    if params.kkt_precision == "mixed_ir":
+        qp_tol_eff = max(qp_tol_eff, 2.0e-6)
     ipm_opts = IpmOptions(
         max_iter=params.qp_max_iter,
-        tol=params.qp_tol,
+        tol=qp_tol_eff,
         ftb=params.qp_ftb,
         factor_dtype=(
             "float32" if params.kkt_precision == "mixed_ir" else "same"
@@ -231,7 +239,33 @@ def make_solver(
         """
         if not exact_hessian:
             return H
-        lmin = jnp.linalg.eigvalsh(H)[0]
+        if params.hessian_shift == "gershgorin":
+            # lambda_min >= min_i (H_ii - sum_{j != i} |H_ij|): conservative
+            # (can over-shift by orders of magnitude -> damped steps) but a
+            # single cheap pass
+            off = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(jnp.diagonal(H))
+            lmin = jnp.min(jnp.diagonal(H) - off, initial=0.0)
+        elif params.hessian_shift == "power":
+            # shifted power iteration: sigma >= lambda_max via Gershgorin
+            # upper bound, then lambda_max(sigma I - H) = sigma - lambda_min.
+            # ~40 matvecs, tiny compiled program, near-exact shift — the
+            # TPU default (eigh compiles a large QR-iteration program)
+            off = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(jnp.diagonal(H))
+            sigma = jnp.max(jnp.diagonal(H) + off, initial=0.0)
+            v0 = jnp.ones((n,), dtype) + jnp.arange(n, dtype=dtype) / n
+
+            def pw(_, vec):
+                bv = sigma * vec - H @ vec
+                return bv / jnp.maximum(jnp.linalg.norm(bv), 1e-30)
+
+            v = lax.fori_loop(0, 80, pw, v0 / jnp.linalg.norm(v0))
+            lmax_b = v @ (sigma * v - H @ v)
+            # the Rayleigh quotient under-estimates lambda_max(B), i.e.
+            # under-shifts; inflate by 30% of the estimated negative part
+            lmin = sigma - lmax_b
+            lmin = jnp.where(lmin < 0.0, 1.3 * lmin, lmin)
+        else:
+            lmin = jnp.linalg.eigvalsh(H)[0]
         shift = jnp.maximum(0.0, -lmin) + jnp.where(
             lmin < 1e-8, 1e-8 * (1.0 + jnp.abs(lmin)), 0.0
         )
@@ -272,7 +306,7 @@ def make_solver(
         )
         infeasible = hard_slack > params.qp_infeas_tol
         # "unexpected status" analog: IPM stopped far from a solution
-        rough = jnp.sqrt(jnp.asarray(params.qp_tol, dtype))
+        rough = jnp.sqrt(jnp.asarray(qp_tol_eff, dtype))
         qp_bad = jnp.logical_and(
             ~sol.converged,
             jnp.logical_or(sol.pri_res > rough, sol.dual_res > rough),

@@ -41,7 +41,10 @@ def _objective(case: PowerCase):
 
     def cost(pg):
         mw = pg * base
-        return jnp.sum(c2 * mw * mw + c1 * mw + c0)
+        dt = pg.dtype
+        return jnp.sum(
+            c2.astype(dt) * mw * mw + c1.astype(dt) * mw + c0.astype(dt)
+        )
 
     return cost
 
@@ -77,16 +80,20 @@ def acopf_polar(case: PowerCase, scenario_batchable: bool = True) -> NLP:
         return va, vm, pg, qg
 
     def flows(va, vm):
+        dt = vm.dtype
+        Gff, Bff, Gft, Bft, Gtf, Btf, Gtt, Btt = (
+            a.astype(dt) for a in (gff, bff, gft, bft, gtf, btf, gtt, btt)
+        )
         vf, vt = vm[f_idx], vm[t_idx]
         d = va[f_idx] - va[t_idx]
         A = vf * vt * jnp.cos(d)
         B = vf * vt * jnp.sin(d)
         vf2 = vf * vf
         vt2 = vt * vt
-        p_f = gff * vf2 + gft * A + bft * B
-        q_f = -bff * vf2 - bft * A + gft * B
-        p_t = gtt * vt2 + gtf * A - btf * B
-        q_t = -btt * vt2 - btf * A - gtf * B
+        p_f = Gff * vf2 + Gft * A + Bft * B
+        q_f = -Bff * vf2 - Bft * A + Gft * B
+        p_t = Gtt * vt2 + Gtf * A - Btf * B
+        q_t = -Btt * vt2 - Btf * A - Gtf * B
         return p_f, q_f, p_t, q_t
 
     def f(x, theta=None):
@@ -95,21 +102,30 @@ def acopf_polar(case: PowerCase, scenario_batchable: bool = True) -> NLP:
 
     def g(x, theta=None):
         va, vm, pg, qg = split(x)
-        pd = jnp.asarray(theta["pd"]) if theta is not None else jnp.asarray(case.bus_pd)
-        qd = jnp.asarray(theta["qd"]) if theta is not None else jnp.asarray(case.bus_qd)
+        dt = x.dtype
+        pd = (
+            jnp.asarray(theta["pd"], dt)
+            if theta is not None
+            else jnp.asarray(case.bus_pd, dt)
+        )
+        qd = (
+            jnp.asarray(theta["qd"], dt)
+            if theta is not None
+            else jnp.asarray(case.bus_qd, dt)
+        )
         p_f, q_f, p_t, q_t = flows(va, vm)
         vm2 = vm * vm
         p_inj = (
             jnp.zeros(nb, x.dtype).at[gen_bus].add(pg)
             - pd
-            - gs * vm2
+            - gs.astype(dt) * vm2
             - jnp.zeros(nb, x.dtype).at[f_idx].add(p_f)
             - jnp.zeros(nb, x.dtype).at[t_idx].add(p_t)
         )
         q_inj = (
             jnp.zeros(nb, x.dtype).at[gen_bus].add(qg)
             - qd
-            + bs * vm2
+            + bs.astype(dt) * vm2
             - jnp.zeros(nb, x.dtype).at[f_idx].add(q_f)
             - jnp.zeros(nb, x.dtype).at[t_idx].add(q_t)
         )
@@ -197,30 +213,42 @@ def acopf_rect(case: PowerCase, scenario_batchable: bool = True) -> NLP:
 
     def g(x, theta=None):
         vr, vi, pg, qg = split(x)
-        pd = jnp.asarray(theta["pd"]) if theta is not None else jnp.asarray(case.bus_pd)
-        qd = jnp.asarray(theta["qd"]) if theta is not None else jnp.asarray(case.bus_qd)
+        dt = x.dtype
+        pd = (
+            jnp.asarray(theta["pd"], dt)
+            if theta is not None
+            else jnp.asarray(case.bus_pd, dt)
+        )
+        qd = (
+            jnp.asarray(theta["qd"], dt)
+            if theta is not None
+            else jnp.asarray(case.bus_qd, dt)
+        )
+        Gff, Bff, Gft, Bft, Gtf, Btf, Gtt, Btt = (
+            a.astype(dt) for a in (gff, bff, gft, bft, gtf, btf, gtt, btt)
+        )
         vrf, vrt = vr[f_idx], vr[t_idx]
         vif, vit = vi[f_idx], vi[t_idx]
         vf2 = vrf * vrf + vif * vif
         vt2 = vrt * vrt + vit * vit
         A = vrf * vrt + vif * vit  # Re(V_f conj(V_t))
         B = vif * vrt - vrf * vit  # Im(V_f conj(V_t))
-        p_f = gff * vf2 + gft * A + bft * B
-        q_f = -bff * vf2 - bft * A + gft * B
-        p_t = gtt * vt2 + gtf * A - btf * B
-        q_t = -btt * vt2 - btf * A - gtf * B
+        p_f = Gff * vf2 + Gft * A + Bft * B
+        q_f = -Bff * vf2 - Bft * A + Gft * B
+        p_t = Gtt * vt2 + Gtf * A - Btf * B
+        q_t = -Btt * vt2 - Btf * A - Gtf * B
         v2 = vr * vr + vi * vi
         p_inj = (
             jnp.zeros(nb, x.dtype).at[gen_bus].add(pg)
             - pd
-            - gs * v2
+            - gs.astype(dt) * v2
             - jnp.zeros(nb, x.dtype).at[f_idx].add(p_f)
             - jnp.zeros(nb, x.dtype).at[t_idx].add(p_t)
         )
         q_inj = (
             jnp.zeros(nb, x.dtype).at[gen_bus].add(qg)
             - qd
-            + bs * v2
+            + bs.astype(dt) * v2
             - jnp.zeros(nb, x.dtype).at[f_idx].add(q_f)
             - jnp.zeros(nb, x.dtype).at[t_idx].add(q_t)
         )
@@ -338,28 +366,40 @@ def acopf_wr(case: PowerCase, scenario_batchable: bool = True) -> NLP:
 
     def g(x, theta=None):
         vr, vi, w, wr, wi, pg, qg = split(x)
-        pd = jnp.asarray(theta["pd"]) if theta is not None else jnp.asarray(case.bus_pd)
-        qd = jnp.asarray(theta["qd"]) if theta is not None else jnp.asarray(case.bus_qd)
+        dt = x.dtype
+        pd = (
+            jnp.asarray(theta["pd"], dt)
+            if theta is not None
+            else jnp.asarray(case.bus_pd, dt)
+        )
+        qd = (
+            jnp.asarray(theta["qd"], dt)
+            if theta is not None
+            else jnp.asarray(case.bus_qd, dt)
+        )
+        Gff, Bff, Gft, Bft, Gtf, Btf, Gtt, Btt = (
+            a.astype(dt) for a in (gff, bff, gft, bft, gtf, btf, gtt, btt)
+        )
         wr_b = wr[br_pair_j]
-        wi_b = wi[br_pair_j] * orient_j  # wi antisymmetric under direction
+        wi_b = wi[br_pair_j] * orient_j.astype(dt)
         wf = w[fj]
         wt = w[tj]
         # branch flows, linear in (w, wr, wi)
-        p_f = gff * wf + gft * wr_b + bft * wi_b
-        q_f = -bff * wf - bft * wr_b + gft * wi_b
-        p_t = gtt * wt + gtf * wr_b - btf * wi_b
-        q_t = -btt * wt - btf * wr_b - gtf * wi_b
+        p_f = Gff * wf + Gft * wr_b + Bft * wi_b
+        q_f = -Bff * wf - Bft * wr_b + Gft * wi_b
+        p_t = Gtt * wt + Gtf * wr_b - Btf * wi_b
+        q_t = -Btt * wt - Btf * wr_b - Gtf * wi_b
         p_inj = (
             jnp.zeros(nb, x.dtype).at[gen_bus].add(pg)
             - pd
-            - gs * w
+            - gs.astype(dt) * w
             - jnp.zeros(nb, x.dtype).at[fj].add(p_f)
             - jnp.zeros(nb, x.dtype).at[tj].add(p_t)
         )
         q_inj = (
             jnp.zeros(nb, x.dtype).at[gen_bus].add(qg)
             - qd
-            + bs * w
+            + bs.astype(dt) * w
             - jnp.zeros(nb, x.dtype).at[fj].add(q_f)
             - jnp.zeros(nb, x.dtype).at[tj].add(q_t)
         )

@@ -133,7 +133,12 @@ def solve_qp(
     recovered from stationarity afterwards).  Branch-free: safe under
     ``vmap`` over problem instances and inside outer ``lax.while_loop``s.
     """
-    dtype = c.dtype
+    # harmonize input dtypes (mixed f32/f64 inputs would otherwise promote
+    # inside the while_loop and break the carry signature)
+    dtype = jnp.result_type(Q, c, A, rl, ru, lb, ub, w)
+    Q, c, A, rl, ru, lb, ub, w = (
+        a.astype(dtype) for a in (Q, c, A, rl, ru, lb, ub, w)
+    )
     n = c.shape[0]
     m = rl.shape[0]
     tau = jnp.asarray(opts.ftb, dtype)
@@ -222,6 +227,16 @@ def solve_qp(
         pri_res=jnp.array(jnp.inf, dtype),
         dual_res=jnp.array(jnp.inf, dtype),
         gap=jnp.array(jnp.inf, dtype),
+        # best-iterate snapshot: at the precision floor the Newton systems go
+        # noise-dominated and iterates can wander off a converged point; the
+        # best solution seen is what gets returned
+        best=dict(
+            p=p, y=y, zl=zl, zu=zu, u=u, v=v,
+            err=jnp.array(jnp.inf, dtype),
+            pri=jnp.array(jnp.inf, dtype),
+            dual=jnp.array(jnp.inf, dtype),
+            gap=jnp.array(jnp.inf, dtype),
+        ),
     )
 
     c_scale = 1.0 + jnp.max(jnp.abs(c), initial=0.0)
@@ -490,6 +505,25 @@ def solve_qp(
             pri < opts.tol, jnp.logical_and(dual < opts.tol, gap < opts.tol)
         )
 
+        # best-iterate bookkeeping + divergence cutoff
+        err = jnp.maximum(pri, jnp.maximum(dual, gap))
+        better = err < st["best"]["err"]
+        b = st["best"]
+        new["best"] = dict(
+            p=jnp.where(better, new["p"], b["p"]),
+            y=jnp.where(better, new["y"], b["y"]),
+            zl=jnp.where(better, new["zl"], b["zl"]),
+            zu=jnp.where(better, new["zu"], b["zu"]),
+            u=jnp.where(better, new["u"], b["u"]),
+            v=jnp.where(better, new["v"], b["v"]),
+            err=jnp.where(better, err, b["err"]),
+            pri=jnp.where(better, pri, b["pri"]),
+            dual=jnp.where(better, dual, b["dual"]),
+            gap=jnp.where(better, gap, b["gap"]),
+        )
+        diverging = err > 1.0e3 * jnp.maximum(new["best"]["err"], opts.tol)
+        new["failed"] = jnp.logical_or(new["failed"], diverging)
+
         # numerical-breakdown backstop: if anything went non-finite, revert to
         # the previous iterate and stop (converged stays False -> the caller's
         # "unexpected status" triage path, mirroring the reference's handling
@@ -510,23 +544,31 @@ def solve_qp(
 
     st = lax.while_loop(cond_fn, body_fn, state0)
 
+    # return the best iterate seen (identical to the final one in the normal
+    # well-conditioned case)
+    b = st["best"]
+    pri, dual, gap = b["pri"], b["dual"], b["gap"]
+    converged = jnp.logical_and(
+        pri < opts.tol, jnp.logical_and(dual < opts.tol, gap < opts.tol)
+    )
+
     # reduced costs: for fixed variables, recover from stationarity of the
     # ORIGINAL problem and sign-split (mirrors subproblem_JuMP.jl:543-550)
-    redcost_fixed = Q @ st["p"] + c + A.T @ st["y"]
-    mult_lo = jnp.where(fixed, _pos(redcost_fixed), st["zl"])
-    mult_up = jnp.where(fixed, _pos(-redcost_fixed), st["zu"])
-    p_out = jnp.where(fixed, fixval, st["p"])
+    redcost_fixed = Q @ b["p"] + c + A.T @ b["y"]
+    mult_lo = jnp.where(fixed, _pos(redcost_fixed), b["zl"])
+    mult_up = jnp.where(fixed, _pos(-redcost_fixed), b["zu"])
+    p_out = jnp.where(fixed, fixval, b["p"])
 
     return QpSolution(
         p=p_out,
-        y=st["y"],
+        y=b["y"],
         mult_lo=mult_lo,
         mult_up=mult_up,
-        slack_u=st["u"],
-        slack_v=st["v"],
+        slack_u=b["u"],
+        slack_v=b["v"],
         iters=st["iters"],
-        converged=st["converged"],
-        pri_res=st["pri_res"],
-        dual_res=st["dual_res"],
-        gap=st["gap"],
+        converged=converged,
+        pri_res=pri,
+        dual_res=dual,
+        gap=gap,
     )

@@ -74,6 +74,11 @@ class Parameters:
     #: KKT factorization backend: "xla" (jnp.linalg.cholesky) or "pallas"
     #: (VMEM-resident blocked kernel, ops/kkt_pallas.py)
     kkt_backend: str = "xla"
+    #: indefinite-Hessian convexification bound: "eigh" (exact smallest
+    #: eigenvalue; compiles a large QR-iteration program), "power" (shifted
+    #: power iteration, ~40 matvecs, near-exact — the TPU-friendly choice),
+    #: or "gershgorin" (one-pass circle bound; very conservative)
+    hessian_shift: str = "eigh"
 
     def replace(self, **kw: Any) -> "Parameters":
         return dataclasses.replace(self, **kw)
