@@ -674,7 +674,7 @@ def make_solver(
         mup = jnp.zeros((n,), dtype)
 
         # linear-feasibility projection (sqp_trust_region.jl:111-122,:264-304)
-        if n_lin > 0:
+        if n_lin > 0 and params.init_projection != "off":
             lpviol = jnp.sum(
                 jnp.maximum(0.0, d.g_l[:n_lin] - E0[:n_lin])
                 + jnp.maximum(0.0, E0[:n_lin] - d.g_u[:n_lin])

@@ -16,8 +16,16 @@ Blocked right-looking Cholesky (panel width 128 = MXU tile):
        (128 column steps, each a full-width VPU axpy)
     3. rank-128 MXU update of the trailing submatrix
 
-Correctness is tested in interpreter mode on CPU (tests/test_pallas.py);
-speed comparison against the XLA cholesky happens on the real chip.
+Correctness is tested in interpreter mode on CPU (tests/test_pallas.py).
+
+Known issue (round 1): the axon TPU pallas backend in this environment fails
+to lower several core constructs — a fori_loop carrying an (n, n) value with
+masked updates hits an infinite astype-dispatch RecursionError, jnp.tril
+SIGABRTs the remote compiler, and dynamic-ds read-modify-write trips the
+Mosaic verifier (minimal repros confirmed; plain VMEM copies work).  Until
+the toolchain lands fixes, ``kkt_backend="pallas"`` is CPU-interpreter-only
+and the default "xla" backend (measured working on-chip) carries the hot
+path.
 """
 
 from __future__ import annotations
@@ -42,45 +50,52 @@ def _round_up(x: int, m: int) -> int:
 def _factor_diag_block(a):
     """Unblocked Cholesky of a (BLOCK, BLOCK) SPD tile; returns lower L.
 
-    Column-by-column Cholesky-Crout: each step updates one column with a
-    full-tile VPU op (masked), so the sequential chain is BLOCK steps of
-    cheap vector work.
+    Column-by-column Cholesky-Crout.  All column reads/writes use one-hot
+    masked full-tile ops — Mosaic rejects dynamic value indexing (``L[:, j]``
+    with a traced j) inside kernels, and masked VPU ops vectorize better
+    anyway.
     """
     n = a.shape[0]
     col_ids = lax.broadcasted_iota(jnp.int32, (n, n), 1)
     row_ids = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ar = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
     def body(j, L):
-        col = L[:, j]
+        sel = col_ids == j
+        col = jnp.sum(jnp.where(sel, L, 0.0), axis=1)
         # no clamping: a negative pivot must surface as NaN so the caller's
         # inertia-correction ladder (linsolve.factorize_spd) can detect it,
         # matching the XLA cholesky's failure behavior
-        diag = jnp.sqrt(col[j])
-        colj = jnp.where(
-            lax.broadcasted_iota(jnp.int32, (n,), 0) > j, col / diag, 0.0
-        )
-        colj = colj.at[j].set(diag)
+        diag = jnp.sqrt(jnp.sum(jnp.where(ar == j, col, 0.0)))
+        colj = jnp.where(ar > j, col / diag, 0.0)
+        colj = jnp.where(ar == j, diag, colj)
         # subtract the rank-1 contribution from the trailing lower triangle
         outer = colj[:, None] * colj[None, :]
         mask = jnp.logical_and(col_ids > j, row_ids >= col_ids)
         L = jnp.where(mask, L - outer, L)
-        L = L.at[:, j].set(colj)
+        L = jnp.where(sel, colj[:, None], L)
         return L
 
     return jnp.tril(lax.fori_loop(0, n, body, jnp.tril(a)))
 
 
 def _solve_panel(panel, Lkk):
-    """X such that X @ Lkk^T = panel  (forward substitution over columns)."""
+    """X such that X @ Lkk^T = panel  (forward substitution over columns,
+    one-hot masked — see _factor_diag_block).  ``panel`` is (rows, BLOCK),
+    ``Lkk`` (BLOCK, BLOCK)."""
     n = Lkk.shape[0]
+    lkk_rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    pan_cols = lax.broadcasted_iota(jnp.int32, panel.shape, 1)
+    ar = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
     def body(j, X):
-        lrow = jnp.where(
-            lax.broadcasted_iota(jnp.int32, (n,), 0) < j, Lkk[j, :], 0.0
-        )
+        rowj = jnp.sum(jnp.where(lkk_rows == j, Lkk, 0.0), axis=0)
+        ljj = jnp.sum(jnp.where(ar == j, rowj, 0.0))
+        lrow = jnp.where(ar < j, rowj, 0.0)
         acc = X @ lrow  # only columns < j contribute
-        X = X.at[:, j].set((panel[:, j] - acc) / Lkk[j, j])
-        return X
+        pcol = jnp.sum(jnp.where(pan_cols == j, panel, 0.0), axis=1)
+        newcol = (pcol - acc) / ljj
+        return jnp.where(pan_cols == j, newcol[:, None], X)
 
     return lax.fori_loop(0, n, body, jnp.zeros_like(panel))
 
@@ -99,13 +114,15 @@ def _chol_kernel(n_panels: int, a_ref, out_ref):
         @pl.when(k + 1 < n_panels)
         def _():
             # fused masked tail: rows beyond the active panel; static shapes
-            # across k (masked rows contribute zero to the MXU update)
+            # across k (masked rows contribute zero to the MXU update).
+            # NB: boolean masks + where only — .astype on masks sends the
+            # TPU pallas trace into infinite astype dispatch.
             rows = lax.broadcasted_iota(jnp.int32, (N, 1), 0)
-            tail = (rows >= off + BLOCK).astype(out_ref.dtype)
-            panel = out_ref[:, pl.ds(off, BLOCK)] * tail
-            X = _solve_panel(panel, Lkk)
+            tailb = rows >= off + BLOCK
             cur = out_ref[:, pl.ds(off, BLOCK)]
-            out_ref[:, pl.ds(off, BLOCK)] = jnp.where(tail > 0, X, cur)
+            panel = jnp.where(tailb, cur, 0.0)
+            X = _solve_panel(panel, Lkk)
+            out_ref[:, pl.ds(off, BLOCK)] = jnp.where(tailb, X, cur)
             out_ref[:] = out_ref[:] - jnp.dot(
                 X, X.T, preferred_element_type=out_ref.dtype
             )

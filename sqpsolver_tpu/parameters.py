@@ -74,6 +74,12 @@ class Parameters:
     #: KKT factorization backend: "xla" (jnp.linalg.cholesky) or "pallas"
     #: (VMEM-resident blocked kernel, ops/kkt_pallas.py)
     kkt_backend: str = "xla"
+    #: solve the initial linear-feasibility projection QP
+    #: (sqp_trust_region.jl:111-122).  "auto": compiled in whenever linear
+    #: rows exist (selected at runtime by the violation test, like the
+    #: reference); "off": skip entirely — saves one QP instantiation of
+    #: compile time when the start point is known linear-feasible
+    init_projection: str = "auto"
     #: indefinite-Hessian convexification bound: "eigh" (exact smallest
     #: eigenvalue; compiles a large QR-iteration program), "power" (shifted
     #: power iteration, ~40 matvecs, near-exact — the TPU-friendly choice),
