@@ -380,29 +380,28 @@ def make_ls_solver(
             live_step, jnp.logical_and(~conv_kkt, ~fr_exit2)
         )
 
-        # SOC on line-search failure (:210-223), then x += alpha p + soc
-        if params.use_soc or True:  # LS always attempts SOC on failure (:211)
-            x_p = st.x + p
-            E_p = nlp.cons(x_p, theta)
-            E_soc = E_p - J @ p
-            rl = d.g_l - E_soc
-            ru = d.g_u - E_soc
-            v_lb = d.x_l - st.x
-            v_ub = d.x_u - st.x
-            lb = jnp.maximum(-_LS_TR, v_lb)
-            ub = jnp.minimum(_LS_TR, v_ub)
-            w = jnp.full((m,), w_big, dtype)
-            soc_sol = solve_qp(H_qp, df, J, rl, ru, lb, ub, w, opts=ipm_opts)
-            need_soc = jnp.logical_and(live_step, ~ls_ok)
-            soc = jnp.where(need_soc, soc_sol.p, 0.0)
-            alpha = jnp.where(need_soc, 1.0, alpha)
-            st = st._replace(
-                n_soc=st.n_soc + need_soc.astype(jnp.int32),
-                qp_iters_total=st.qp_iters_total
-                + jnp.where(need_soc, soc_sol.iters, 0),
-            )
-        else:
-            soc = jnp.zeros((n,), dtype)
+        # SOC on line-search failure (:210-223), then x += alpha p + soc.
+        # The LS spec always attempts SOC on failure, independent of the
+        # use_soc flag (sqp_line_search.jl:211); branch-free select-merge.
+        x_p = st.x + p
+        E_p = nlp.cons(x_p, theta)
+        E_soc = E_p - J @ p
+        rl = d.g_l - E_soc
+        ru = d.g_u - E_soc
+        v_lb = d.x_l - st.x
+        v_ub = d.x_u - st.x
+        lb = jnp.maximum(-_LS_TR, v_lb)
+        ub = jnp.minimum(_LS_TR, v_ub)
+        w = jnp.full((m,), w_big, dtype)
+        soc_sol = solve_qp(H_qp, df, J, rl, ru, lb, ub, w, opts=ipm_opts)
+        need_soc = jnp.logical_and(live_step, ~ls_ok)
+        soc = jnp.where(need_soc, soc_sol.p, 0.0)
+        alpha = jnp.where(need_soc, 1.0, alpha)
+        st = st._replace(
+            n_soc=st.n_soc + need_soc.astype(jnp.int32),
+            qp_iters_total=st.qp_iters_total
+            + jnp.where(need_soc, soc_sol.iters, 0),
+        )
 
         new_x = st.x + alpha * p + soc
         st = st._replace(x=jnp.where(live_step, new_x, st.x))

@@ -28,13 +28,13 @@ weights):
 * **Initial projection LP/QP** (``sub_optimize_lp``,
   subproblem_JuMP.jl:185-244): ``Q = 2I, c = -2 x_k`` over the linear rows.
 
-The elastic variables also make the condensed KKT system unconditionally
-well-posed: every row contributes ``u/zeta_u + v/zeta_v > 0`` to the row
-elasticity, so the condensed matrix
-
-    M = Q + D_p + A' diag(1/E) A   (+ delta I from inertia correction)
-
-is SPD whenever Q is PSD, and the Cholesky probe in
+The elastic variables make every row's elasticity
+``E_i = u/zeta_u + v/zeta_v (+ 1/Ds) > 0``, so the Newton system always
+admits the hybrid stiff/soft factorization (see the body): soft rows (large
+E) condense into the primal block K = Q + D_p + A_s' E_s^-1 A_s, stiff rows
+(equalities / active constraints) solve through the SPD Schur complement
+S = A_t K^-1 A_t' + diag(E_t) — both factors stay well-conditioned across
+the whole barrier path, and the Cholesky probe in
 :mod:`sqpsolver_tpu.ops.linsolve` handles indefinite Q.
 
 Multiplier conventions (see :mod:`sqpsolver_tpu.algorithms.common`): the
