@@ -37,7 +37,15 @@ def solve_with_checkpoints(
     state pytree is vmapped accordingly).  With ``checkpoint_dir`` set, state
     is saved after every chunk and, if ``resume`` and a checkpoint exists,
     the solve continues from it instead of starting over.
+
+    ``params.time_limit`` is honored at chunk granularity: when the wall
+    clock exceeds it the solve stops and unfinished instances report
+    Maximum_CpuTime_Exceeded (-4).  (The reference declares this parameter
+    but never implements it, src/parameters.jl:21.)
     """
+    import time as _time
+
+    t_start = _time.time()
     import jax.numpy as jnp
 
     solver = make_solver(nlp, params, verbose=False)
@@ -69,10 +77,14 @@ def solve_with_checkpoints(
         st = init_state(data)
 
     max_iter = params.max_iter
+    timed_out = False
     while True:
         it = np.asarray(st.iter)
         done = np.asarray(st.done)
         if bool(np.all(done)) or int(it.max()) > max_iter:
+            break
+        if _time.time() - t_start > params.time_limit:
+            timed_out = True
             break
         limit = min(int(it.max()) + chunk_iters - 1, max_iter)
         st = run_until(st, data, limit)
@@ -81,4 +93,14 @@ def solve_with_checkpoints(
             host_state = jax.tree.map(np.asarray, st)
             ckptr.save(ckpt_path, host_state, force=True)
 
-    return finalize(st, data)
+    result = finalize(st, data)
+    if timed_out:
+        from ..status import Status
+
+        status = np.where(
+            ~np.asarray(st.done),
+            np.int32(Status.MAXIMUM_CPUTIME_EXCEEDED),
+            np.asarray(result.status),
+        )
+        result = result._replace(status=jnp.asarray(status))
+    return result

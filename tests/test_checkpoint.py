@@ -53,3 +53,16 @@ def test_warm_start_duals():
     warm = solver(data)
     assert int(warm.iterations) <= cold.iterations
     np.testing.assert_allclose(np.asarray(warm.x), cold.x, atol=1e-6)
+
+
+def test_time_limit():
+    """time_limit (declared but unimplemented in the reference,
+    parameters.jl:21) is honored at chunk granularity."""
+    prob = hs_problem("hs071")
+    res = solve_with_checkpoints(
+        prob.nlp,
+        PARAMS.replace(time_limit=0.0),
+        prob.nlp.data(),
+        chunk_iters=5,
+    )
+    assert int(res.status) == sqp.Status.MAXIMUM_CPUTIME_EXCEEDED
