@@ -159,7 +159,14 @@ def make_ls_solver(
             lmin = sigma - lmax_b
             lmin = jnp.where(lmin < 0.0, 1.3 * lmin, lmin)
         else:
-            lmin = jnp.linalg.eigvalsh(H)[0]
+            # f32 is ample precision for a convexification bound, and f64
+            # eigendecompositions are software-emulated on TPU; pad the
+            # estimate by f32-eps * |H| to stay a valid lower bound
+            lmin32 = jnp.linalg.eigvalsh(H.astype(jnp.float32))[0]
+            pad = 4.0e-7 * jnp.maximum(
+                jnp.max(jnp.abs(H), initial=0.0), 1.0
+            )
+            lmin = lmin32.astype(dtype) - pad
         shift = jnp.maximum(0.0, -lmin) + jnp.where(
             lmin < 1e-8, 1e-8 * (1.0 + jnp.abs(lmin)), 0.0
         )
