@@ -269,9 +269,11 @@ def make_solver(
             # eigendecompositions are software-emulated on TPU; pad the
             # estimate by f32-eps * |H| to stay a valid lower bound
             lmin32 = jnp.linalg.eigvalsh(H.astype(jnp.float32))[0]
-            pad = 4.0e-7 * jnp.maximum(
-                jnp.max(jnp.abs(H), initial=0.0), 1.0
-            )
+            # pad by f32-eps relative to |H| only: an absolute pad would
+            # inflate the shift of (near-)zero Hessians, pulling LP-like
+            # subproblem steps off the TR boundary and defeating the
+            # boundary-based unbounded/TR-growth heuristics
+            pad = 4.0e-7 * jnp.max(jnp.abs(H), initial=0.0)
             lmin = lmin32.astype(dtype) - pad
         shift = jnp.maximum(0.0, -lmin) + jnp.where(
             lmin < 1e-8, 1e-8 * (1.0 + jnp.abs(lmin)), 0.0
