@@ -55,7 +55,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .linsolve import factorize_spd, solve_factorized
+from .linsolve import _cho_solve as _cho_solve_tri, factorize_spd, solve_factorized
 
 Array = jax.Array
 
@@ -85,7 +85,7 @@ class IpmOptions:
     ftb: float = 0.995  # fraction-to-boundary
     fixed_var_ridge: float = 1.0e10  # penalty pinning fixed variables (lb==ub)
     factor_dtype: str = "same"  # "same" or "float32" (mixed-precision KKT)
-    ir_steps: int = 2  # refinement sweeps when factor_dtype != compute dtype
+    ir_steps: int = 4  # refinement sweeps when factor_dtype != compute dtype
     kkt_backend: str = "xla"  # "xla" | "pallas" (ops.kkt_pallas)
 
     def __hash__(self):
@@ -144,6 +144,9 @@ def solve_qp(
     tau = jnp.asarray(opts.ftb, dtype)
     fdtype = jnp.float32 if opts.factor_dtype == "float32" else dtype
     ir_steps = opts.ir_steps if opts.factor_dtype == "float32" else 0
+    # f32 matrix plane: every matmul/factorization in float32 (MXU), wider
+    # dtype only in vectors + block-refinement residuals (see body_fn)
+    mixed_plane = opts.factor_dtype == "float32"
 
     # ------------------------------------------------------------- masks ----
     eq = jnp.logical_and(jnp.isfinite(rl), rl == ru)  # equality rows
@@ -165,6 +168,9 @@ def solve_qp(
     ridge = jnp.asarray(opts.fixed_var_ridge, dtype)
     Qmod = Q + jnp.diag(jnp.where(fixed, ridge, 0.0))
     cmod = c - jnp.where(fixed, ridge * fixval, 0.0)
+    if mixed_plane:
+        Q32c = Qmod.astype(jnp.float32)
+        A32c = A.astype(jnp.float32)
 
     # ------------------------------------------------------- initial point --
     pad_p = jnp.where(
@@ -318,16 +324,74 @@ def solve_qp(
         A_stiff = jnp.where(stiff[:, None], A, 0.0)
         E_stiff = jnp.where(stiff, E, 1.0)
 
-        K = Qmod + jnp.diag(Dp) + (A.T * invE_soft) @ A
-        fact_K = factorize_spd(
-            K, st["delta"], factor_dtype=fdtype, backend=opts.kkt_backend
-        )
-        KiAt = solve_factorized(fact_K, A_stiff.T, ir_steps=ir_steps)
-        S = A_stiff @ KiAt + jnp.diag(E_stiff)
-        fact_S = factorize_spd(
-            S, jnp.zeros((), dtype), factor_dtype=fdtype,
-            backend=opts.kkt_backend,
-        )
+        # --- factorization plane -------------------------------------------
+        # mixed_plane (factor_dtype="float32", compute dtype wider): ALL
+        # matrix work — assembly matmuls, factorizations, triangular solves —
+        # runs in float32 on the MXU; float64 appears only in vectors and in
+        # the block-level refinement residuals below (cheap matvecs).  On TPU
+        # this removes the software-emulated f64 matmul path entirely.
+        if mixed_plane:
+            f32 = jnp.float32
+            Dp32 = Dp.astype(f32)
+            invE32 = invE_soft.astype(f32)
+            K32 = Q32c + jnp.diag(Dp32) + (A32c.T * invE32) @ A32c
+            fact_K = factorize_spd(
+                K32, st["delta"].astype(f32), backend=opts.kkt_backend
+            )
+            A_st32 = jnp.where(stiff[:, None], A32c, 0.0)
+            KiAt32 = _cho_solve_tri(fact_K.chol, A_st32.T)
+            S32 = A_st32 @ KiAt32 + jnp.diag(E_stiff.astype(f32))
+            fact_S = factorize_spd(
+                S32, jnp.zeros((), f32), backend=opts.kkt_backend
+            )
+            delta64 = fact_K.delta.astype(dtype)
+
+            def K_mv(x):
+                # exact (K + delta I) @ x in the compute dtype — matvecs only
+                return (
+                    Qmod @ x
+                    + delta64 * x
+                    + Dp * x
+                    + A.T @ (invE_soft * (A @ x))
+                )
+
+            def approx_block(r1_t, r2_t):
+                t1 = _cho_solve_tri(fact_K.chol, r1_t.astype(f32))
+                b = A_st32 @ t1 - r2_t.astype(f32)
+                dy = _cho_solve_tri(fact_S.chol, b)
+                dp = t1 - KiAt32 @ dy
+                return dp.astype(dtype), dy.astype(dtype)
+
+            def solve_block(r1_t, r2_t):
+                """Solve [K+dI, A_t'; A_t, -E_t] (dp; dy_t) = (r1_t; r2_t)
+                with f32 factors + compute-dtype residual refinement."""
+                dp, dy = approx_block(r1_t, r2_t)
+                for _ in range(max(1, ir_steps)):
+                    res1 = r1_t - (K_mv(dp) + A_stiff.T @ dy)
+                    res2 = r2_t - (A_stiff @ dp - E_stiff * dy)
+                    ddp, ddy = approx_block(res1, res2)
+                    dp = dp + ddp
+                    dy = dy + ddy
+                return dp, dy
+
+        else:
+            K = Qmod + jnp.diag(Dp) + (A.T * invE_soft) @ A
+            fact_K = factorize_spd(
+                K, st["delta"], factor_dtype=fdtype, backend=opts.kkt_backend
+            )
+            KiAt = solve_factorized(fact_K, A_stiff.T, ir_steps=ir_steps)
+            S = A_stiff @ KiAt + jnp.diag(E_stiff)
+            fact_S = factorize_spd(
+                S, jnp.zeros((), dtype), factor_dtype=fdtype,
+                backend=opts.kkt_backend,
+            )
+
+            def solve_block(r1_t, r2_t):
+                t1 = solve_factorized(fact_K, r1_t, ir_steps=ir_steps)
+                b_t = A_stiff @ t1 - r2_t
+                dy_t = solve_factorized(fact_S, b_t, ir_steps=ir_steps)
+                dp = t1 - KiAt @ dy_t
+                return dp, dy_t
 
         def newton(cc_pl, cc_pu, cc_sl, cc_su, cc_u, cc_v):
             """One Newton solve for given complementarity targets.
@@ -354,10 +418,7 @@ def solve_qp(
             )
             # free rows contribute a fixed dy = -y to the p-equation
             r1_t = r1 + A.T @ (invE_soft * rhs2) + A.T @ jnp.where(freerow, y, 0.0)
-            t1 = solve_factorized(fact_K, r1_t, ir_steps=ir_steps)
-            b_t = A_stiff @ t1 - jnp.where(stiff, rhs2, 0.0)
-            dy_t = solve_factorized(fact_S, b_t, ir_steps=ir_steps)
-            dp = t1 - KiAt @ dy_t
+            dp, dy_t = solve_block(r1_t, jnp.where(stiff, rhs2, 0.0))
             dy_soft = jnp.where(elim, (A @ dp - rhs2) * invE_soft, -y)
             dy = jnp.where(stiff, dy_t, dy_soft)
             du = cc_u / zeta_u - eu * (dy + rd_u)
@@ -485,7 +546,7 @@ def solve_qp(
         new["lu"] = jnp.where(hru, lu + alpha * dlu, 0.0)
         new["zeta_u"] = zeta_u + alpha * dzeta_u
         new["zeta_v"] = zeta_v + alpha * dzeta_v
-        new["delta"] = fact_K.delta * 0.1  # decay the warm-started regularization
+        new["delta"] = fact_K.delta.astype(dtype) * 0.1  # decay the warm-started regularization
         new["iters"] = st["iters"] + 1
 
         pri, dual = scaled_residuals(new)

@@ -70,7 +70,7 @@ class Parameters:
     #: the TPU-native path: MXU-speed factorization, f64-grade accuracy)
     kkt_precision: str = "direct"
     #: number of iterative-refinement sweeps when kkt_precision="mixed_ir"
-    kkt_ir_steps: int = 2
+    kkt_ir_steps: int = 4
     #: KKT factorization backend: "xla" (jnp.linalg.cholesky) or "pallas"
     #: (VMEM-resident blocked kernel, ops/kkt_pallas.py)
     kkt_backend: str = "xla"
