@@ -133,6 +133,10 @@ def make_ls_solver(
     def convexify(H):
         if not exact_hessian:
             return H
+        with jax.default_matmul_precision("float32"):
+            return _convexify_impl(H)
+
+    def _convexify_impl(H):
         if params.hessian_shift == "gershgorin":
             # lambda_min >= min_i (H_ii - sum_{j != i} |H_ij|): conservative
             # (can over-shift by orders of magnitude -> damped steps) but a

@@ -239,6 +239,12 @@ def make_solver(
         """
         if not exact_hessian:
             return H
+        # true f32 products: TPU matmuls default to bfloat16 passes, which
+        # degrades the shift estimate below usable accuracy
+        with jax.default_matmul_precision("float32"):
+            return _convexify_impl(H)
+
+    def _convexify_impl(H):
         if params.hessian_shift == "gershgorin":
             # lambda_min >= min_i (H_ii - sum_{j != i} |H_ij|): conservative
             # (can over-shift by orders of magnitude -> damped steps) but a

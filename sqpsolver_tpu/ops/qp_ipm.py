@@ -133,6 +133,13 @@ def solve_qp(
     recovered from stationarity afterwards).  Branch-free: safe under
     ``vmap`` over problem instances and inside outer ``lax.while_loop``s.
     """
+    # TPU matmuls default to bfloat16 passes; the float32 matrix plane and
+    # the refinement contraction both need true float32 products
+    with jax.default_matmul_precision("float32"):
+        return _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts)
+
+
+def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts):
     # harmonize input dtypes (mixed f32/f64 inputs would otherwise promote
     # inside the while_loop and break the carry signature)
     dtype = jnp.result_type(Q, c, A, rl, ru, lb, ub, w)
