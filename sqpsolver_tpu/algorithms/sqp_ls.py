@@ -96,15 +96,22 @@ def make_ls_solver(
     # on barrier-ill-conditioned KKT systems — ample for the 1e-6/1e-4
     # ACOPF tolerance regime; use direct float64 for 1e-8-grade solves
     qp_tol_eff = max(params.qp_tol, 30.0 * float(jnp.finfo(dtype).eps))
-    if params.kkt_precision == "mixed_ir":
+    if params.kkt_precision.startswith("mixed"):
         qp_tol_eff = max(qp_tol_eff, 2.0e-6)
     ipm_opts = IpmOptions(
         max_iter=params.qp_max_iter,
         tol=qp_tol_eff,
         ftb=params.qp_ftb,
-        factor_dtype=("float32" if params.kkt_precision == "mixed_ir" else "same"),
-        ir_steps=params.kkt_ir_steps,
+        factor_dtype=(
+            "float32" if params.kkt_precision.startswith("mixed") else "same"
+        ),
+        ir_steps=(
+            max(4, params.kkt_ir_steps)
+            if params.kkt_precision == "mixed_plane"
+            else params.kkt_ir_steps
+        ),
         kkt_backend=params.kkt_backend,
+        plane=params.kkt_precision == "mixed_plane",
     )
     w_big = jnp.asarray(params.elastic_weight, dtype)
     is_linear_row = jnp.arange(m) < n_lin

@@ -573,3 +573,173 @@ def unbounded_nlp() -> NLP:
         x0=np.array([0.0]),
         name="unbounded",
     )
+
+
+# --- additional battery problems ------------------------------------------
+
+_register(
+    "hs002",
+    f_star=0.0504261879,
+    f=lambda x: 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2,
+    g=None,
+    n=2,
+    m=0,
+    x_l=np.array([-INF, 1.5]),
+    x_u=np.array([INF, INF]),
+    g_l=np.zeros(0),
+    g_u=np.zeros(0),
+    x0=np.array([-2.0, 1.0]),
+)
+
+_register(
+    "hs022",
+    f_star=1.0,
+    x_star=[1.0, 1.0],
+    f=lambda x: (x[0] - 2.0) ** 2 + (x[1] - 1.0) ** 2,
+    g=lambda x: jnp.stack(
+        [-x[0] - x[1] + 2.0, -(x[0] ** 2) + x[1]]
+    ),  # linear first
+    n=2,
+    m=2,
+    num_linear=1,
+    x_l=_bounds(2)[0],
+    x_u=_bounds(2)[1],
+    g_l=np.zeros(2),
+    g_u=np.full(2, INF),
+    x0=np.array([2.0, 2.0]),
+)
+
+_register(
+    "hs023",
+    f_star=2.0,
+    x_star=[1.0, 1.0],
+    f=lambda x: x[0] ** 2 + x[1] ** 2,
+    g=lambda x: jnp.stack(
+        [
+            x[0] + x[1] - 1.0,  # linear
+            x[0] ** 2 + x[1] ** 2 - 1.0,
+            9.0 * x[0] ** 2 + x[1] ** 2 - 9.0,
+            x[0] ** 2 - x[1],
+            x[1] ** 2 - x[0],
+        ]
+    ),
+    n=2,
+    m=5,
+    num_linear=1,
+    x_l=np.full(2, -50.0),
+    x_u=np.full(2, 50.0),
+    g_l=np.zeros(5),
+    g_u=np.full(5, INF),
+    x0=np.array([3.0, 1.0]),
+)
+
+_register(
+    "hs030",
+    f_star=1.0,
+    x_star=[1.0, 0.0, 0.0],
+    f=lambda x: x[0] ** 2 + x[1] ** 2 + x[2] ** 2,
+    g=lambda x: jnp.stack([x[0] ** 2 + x[1] ** 2 - 1.0]),
+    n=3,
+    m=1,
+    x_l=np.array([1.0, -10.0, -10.0]),
+    x_u=np.array([10.0, 10.0, 10.0]),
+    g_l=np.array([0.0]),
+    g_u=np.array([INF]),
+    x0=np.array([1.0, 1.0, 1.0]),
+)
+
+_register(
+    "hs043",  # Rosen-Suzuki
+    f_star=-44.0,
+    x_star=[0.0, 1.0, 2.0, -1.0],
+    f=lambda x: (
+        x[0] ** 2
+        + x[1] ** 2
+        + 2.0 * x[2] ** 2
+        + x[3] ** 2
+        - 5.0 * x[0]
+        - 5.0 * x[1]
+        - 21.0 * x[2]
+        + 7.0 * x[3]
+    ),
+    g=lambda x: jnp.stack(
+        [
+            8.0
+            - x[0] ** 2
+            - x[1] ** 2
+            - x[2] ** 2
+            - x[3] ** 2
+            - x[0]
+            + x[1]
+            - x[2]
+            + x[3],
+            10.0
+            - x[0] ** 2
+            - 2.0 * x[1] ** 2
+            - x[2] ** 2
+            - 2.0 * x[3] ** 2
+            + x[0]
+            + x[3],
+            5.0
+            - 2.0 * x[0] ** 2
+            - x[1] ** 2
+            - x[2] ** 2
+            - 2.0 * x[0]
+            + x[1]
+            + x[3],
+        ]
+    ),
+    n=4,
+    m=3,
+    x_l=_bounds(4)[0],
+    x_u=_bounds(4)[1],
+    g_l=np.zeros(3),
+    g_u=np.full(3, INF),
+    x0=np.zeros(4),
+)
+
+_register(
+    "hs065",
+    f_star=0.9535288567,
+    f=lambda x: (x[0] - x[1]) ** 2 + (x[0] + x[1] - 10.0) ** 2 / 9.0 + (x[2] - 5.0) ** 2,
+    g=lambda x: jnp.stack([48.0 - x[0] ** 2 - x[1] ** 2 - x[2] ** 2]),
+    n=3,
+    m=1,
+    x_l=np.array([-4.5, -4.5, -5.0]),
+    x_u=np.array([4.5, 4.5, 5.0]),
+    g_l=np.array([0.0]),
+    g_u=np.array([INF]),
+    x0=np.array([-5.0, 5.0, 0.0]),
+)
+
+_register(
+    "hs076",
+    f_star=-4.681818181,
+    f=lambda x: (
+        x[0] ** 2
+        + 0.5 * x[1] ** 2
+        + x[2] ** 2
+        + 0.5 * x[3] ** 2
+        - x[0] * x[2]
+        + x[2] * x[3]
+        - x[0]
+        - 3.0 * x[1]
+        + x[2]
+        - x[3]
+    ),
+    g=lambda x: jnp.stack(
+        [
+            5.0 - x[0] - 2.0 * x[1] - x[2] - x[3],
+            4.0 - 3.0 * x[0] - x[1] - 2.0 * x[2] + x[3],
+            x[1] + 4.0 * x[2] - 1.5,
+        ]
+    ),  # all linear
+    n=4,
+    m=3,
+    num_linear=3,
+    x_l=np.zeros(4),
+    x_u=_bounds(4)[1],
+    g_l=np.zeros(3),
+    g_u=np.full(3, INF),
+    x0=np.full(4, 0.5),
+)

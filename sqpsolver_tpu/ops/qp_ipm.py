@@ -85,13 +85,14 @@ class IpmOptions:
     ftb: float = 0.995  # fraction-to-boundary
     fixed_var_ridge: float = 1.0e10  # penalty pinning fixed variables (lb==ub)
     factor_dtype: str = "same"  # "same" or "float32" (mixed-precision KKT)
-    ir_steps: int = 4  # refinement sweeps when factor_dtype != compute dtype
+    ir_steps: int = 2  # refinement sweeps when factor_dtype != compute dtype
     kkt_backend: str = "xla"  # "xla" | "pallas" (ops.kkt_pallas)
+    plane: bool = False  # f32 matrix-plane solves (block-level refinement)
 
     def __hash__(self):
         return hash(
             (self.max_iter, self.tol, self.ftb, self.fixed_var_ridge,
-             self.factor_dtype, self.ir_steps, self.kkt_backend)
+             self.factor_dtype, self.ir_steps, self.kkt_backend, self.plane)
         )
 
 
@@ -153,7 +154,7 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts):
     ir_steps = opts.ir_steps if opts.factor_dtype == "float32" else 0
     # f32 matrix plane: every matmul/factorization in float32 (MXU), wider
     # dtype only in vectors + block-refinement residuals (see body_fn)
-    mixed_plane = opts.factor_dtype == "float32"
+    mixed_plane = opts.factor_dtype == "float32" and opts.plane
 
     # ------------------------------------------------------------- masks ----
     eq = jnp.logical_and(jnp.isfinite(rl), rl == ru)  # equality rows

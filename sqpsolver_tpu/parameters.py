@@ -65,12 +65,14 @@ class Parameters:
     qp_ftb: float = 0.995
     #: compute dtype: "float64" or "float32"
     dtype: str = "float64"
-    #: KKT linear-solve policy: "direct" (Cholesky in compute dtype) or
-    #: "mixed_ir" (factorize in float32, iteratively refine in compute dtype —
-    #: the TPU-native path: MXU-speed factorization, f64-grade accuracy)
+    #: KKT linear-solve policy: "direct" (Cholesky in compute dtype),
+    #: "mixed_ir" (float32 factorizations, per-solve refinement in the
+    #: compute dtype — the measured-fastest TPU mode), or "mixed_plane"
+    #: (every matmul/factorization in float32, block-level refinement;
+    #: experimental — currently slower due to the 6-pass true-f32 matmul)
     kkt_precision: str = "direct"
-    #: number of iterative-refinement sweeps when kkt_precision="mixed_ir"
-    kkt_ir_steps: int = 4
+    #: number of iterative-refinement sweeps for the mixed modes
+    kkt_ir_steps: int = 2
     #: KKT factorization backend: "xla" (jnp.linalg.cholesky) or "pallas"
     #: (VMEM-resident blocked kernel, ops/kkt_pallas.py)
     kkt_backend: str = "xla"

@@ -15,6 +15,7 @@ PARAMS = sqp.Parameters(max_iter=500, OutputFlag=0)
 # local optimum than the book's global one — scipy SLSQP from the same start
 # lands on the same point; both values accepted
 LOCAL_OPTIMA = {
+    "hs002": [0.0504261879, 4.941229318],
     "hs016": [0.25, 23.14466],
 }
 
