@@ -260,7 +260,9 @@ def make_solver(
             # shifted power iteration: sigma >= lambda_max via Gershgorin
             # upper bound, then lambda_max(sigma I - H) = sigma - lambda_min.
             # ~40 matvecs, tiny compiled program, near-exact shift — the
-            # TPU default (eigh compiles a large QR-iteration program)
+            # TPU-friendly choice when compile time matters (the shipped
+            # default is "eigh", parameters.py; eigh compiles a large
+            # QR-iteration program but gives the exact bound)
             off = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(jnp.diagonal(H))
             sigma = jnp.max(jnp.diagonal(H) + off, initial=0.0)
             v0 = jnp.ones((n,), dtype) + jnp.arange(n, dtype=dtype) / n

@@ -67,6 +67,14 @@ def parse_matpower(path: str, name: str | None = None) -> PowerCase:
     id2idx = {b: i for i, b in enumerate(bus_ids)}
     nb = len(bus_ids)
 
+    # MATPOWER allows 2*ng gencost rows (reactive costs appended); only the
+    # first ng rows (active-power costs) are consumed here
+    if len(gencost) not in (len(gen), 2 * len(gen)):
+        raise ValueError(
+            f"gencost has {len(gencost)} rows for {len(gen)} generators "
+            "(expected ng or 2*ng)"
+        )
+    gencost = gencost[: len(gen)]
     # in-service generators (gen status col 7)
     on = gen[:, 7] > 0 if gen.shape[1] > 7 else np.ones(len(gen), bool)
     gen = gen[on]

@@ -607,7 +607,9 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts):
             out[k] = jax.tree.map(
                 lambda a, b: jnp.where(finite, a, b), new[k], old_val
             )
-        out["failed"] = ~finite
+        # keep BOTH stop signals: the divergence cutoff computed above (lives
+        # in new["failed"]) and the non-finite backstop
+        out["failed"] = jnp.where(finite, new["failed"], True)
         out["iters"] = new["iters"]
         return out
 

@@ -28,7 +28,12 @@ class Parameters:
     algorithm: str = "SQP-TR"  # "SQP-TR" (trust region) or "SQP-LS" (line search)
     # hessian handling: "exact" (AD Lagrangian Hessian) or "none" (LP subproblems,
     # i.e. SLP mode; reference forces "none" when no Hessian callback exists,
-    # src/MOI_wrapper.jl:1184-1188)
+    # src/MOI_wrapper.jl:1184-1188).
+    # DELIBERATE DEVIATION (PARITY.md #10): the reference's kwdef default is
+    # "none" (src/parameters.jl:10) but every real entry path overrides it —
+    # MOI always passes an exact-Hessian evaluator when one exists — so the
+    # effective reference behavior is exact-Hessian SQP; here that is the
+    # default outright (jax AD always provides the Hessian).
     hessian_type: str = "exact"
 
     OutputFlag: int = 1
