@@ -49,13 +49,23 @@ def main():
     platform = jax.devices()[0].platform
     nbus = int(os.environ.get("SQP_BENCH_CASE", "30"))
     batch = int(os.environ.get("SQP_BENCH_BATCH", "32"))
+    structured = os.environ.get("SQP_BENCH_STRUCTURED", "0") == "1"
     default_dtype = "float64"
     dtype = os.environ.get("SQP_BENCH_DTYPE", default_dtype)
 
-    case = case9() if nbus == 9 else synthetic_case(nbus, seed=1)
+    # real vendored MATPOWER data where available (case5/9/14/30 — VERDICT r1
+    # item 3); larger sizes use the seeded synthetic generator
+    if nbus in (5, 14, 30):
+        from sqpsolver_tpu.models.matpower import load_case
+
+        case = load_case(f"case{nbus}")
+    elif nbus == 9:
+        case = case9()
+    else:
+        case = synthetic_case(nbus, seed=1)
     nlp = acopf_polar(case)
     log(f"backend={platform} case={case.name} n={nlp.n} m={nlp.m} "
-        f"batch={batch} dtype={dtype}")
+        f"batch={batch} dtype={dtype} structured={structured}")
 
     params = Parameters(
         max_iter=25,
@@ -64,8 +74,17 @@ def main():
         tol_residual=1.0e-4,
         qp_max_iter=30,
         dtype=dtype,
-        kkt_precision=os.environ.get("SQP_BENCH_PREC", "mixed_ir"),
-        hessian_shift=os.environ.get("SQP_BENCH_SHIFT", "eigh"),
+        # measured on-chip (scripts/profile_qp118.py): the f32 matrix plane
+        # with explicit inverse factors + 2 refinement sweeps is ~2.7x the
+        # per-iteration QP speed of mixed_ir at b=16, and the shifted power
+        # iteration replaces an 84 ms batched eigh with ~4 ms of matvecs
+        kkt_precision=os.environ.get("SQP_BENCH_PREC", "mixed_plane"),
+        hessian_shift=os.environ.get("SQP_BENCH_SHIFT", "power"),
+        kkt_structured=structured,
+        # ACOPF starts are linear-feasible (ref-angle row at 0): skip the
+        # projection QP trace entirely — one fewer IPM instantiation of
+        # remote-compile time
+        init_projection="off",
     )
     import jax.numpy as jnp
 

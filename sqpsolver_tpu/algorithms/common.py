@@ -20,7 +20,52 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from jax import Array
+from jax import Array, lax
+
+
+def lanczos_lmin_bound(h_mv, n: int, dtype, iters: int = 40):
+    """Lower bound on ``lambda_min`` of a symmetric operator via Lanczos.
+
+    Runs ``iters`` Lanczos steps (matvecs only — works for both dense and
+    block-structured Hessians), takes the smallest Ritz value ``theta`` of
+    the tridiagonal matrix and subtracts the residual term ``beta_k |s_k|``
+    (the classical Kaniel-Paige bound), giving a *valid* lower bound even
+    before convergence.  A plain power iteration on ``sigma I - H`` fails
+    here: with the Gershgorin ``sigma`` far above the spectrum the
+    convergence rate is ``1 - gap/sigma`` and 80 iterations can
+    under-estimate ``|lambda_min|`` several-fold — an under-shifted
+    convexification then hands the IPM a *nonconvex* QP that cannot converge
+    (observed: case9/case118 lanes failing with status -3).
+    """
+    v0 = jnp.ones((n,), dtype) + jnp.arange(n, dtype=dtype) / n
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def step(carry, _):
+        v_prev, v, beta_prev = carry
+        w = h_mv(v) - beta_prev * v_prev
+        alpha = v @ w
+        w = w - alpha * v
+        # full reorthogonalization is overkill; one extra projection against
+        # the previous two vectors curbs the worst drift
+        w = w - (w @ v) * v - (w @ v_prev) * v_prev
+        beta = jnp.linalg.norm(w)
+        v_new = w / jnp.maximum(beta, 1e-30)
+        return (v, v_new, beta), (alpha, beta)
+
+    _, (alphas, betas) = lax.scan(
+        step, (jnp.zeros((n,), dtype), v0, jnp.asarray(0.0, dtype)),
+        None, length=iters,
+    )
+    T = (
+        jnp.diag(alphas)
+        + jnp.diag(betas[:-1], 1)
+        + jnp.diag(betas[:-1], -1)
+    )
+    evals, evecs = jnp.linalg.eigh(T)
+    idx = jnp.argmin(evals)
+    theta = evals[idx]
+    resid = betas[-1] * jnp.abs(evecs[-1, idx])
+    return theta - resid
 
 
 def constraint_violation(E: Array, g_l: Array, g_u: Array) -> Array:
@@ -55,6 +100,26 @@ def norm_violations(
     return jnp.linalg.norm(viol, ord=ord)
 
 
+def kt_residuals_from_parts(
+    df: Array,
+    lam: Array,
+    mult_x_U: Array,
+    mult_x_L: Array,
+    jt_lam: Array,
+    row_norms: Array,
+) -> Array:
+    """:func:`kt_residuals` from precomputed ``J^T lam`` and per-row norms —
+    shared by the dense path and the block-structured path (which never
+    materializes a dense Jacobian)."""
+    stat = df + jt_lam + mult_x_U - mult_x_L
+    res = jnp.max(jnp.abs(stat), initial=0.0)
+    scalar = jnp.maximum(1.0, jnp.max(jnp.abs(df), initial=0.0))
+    scalar = jnp.maximum(scalar, jnp.max(jnp.abs(mult_x_U), initial=0.0))
+    scalar = jnp.maximum(scalar, jnp.max(jnp.abs(mult_x_L), initial=0.0))
+    scalar = jnp.maximum(scalar, jnp.max(jnp.abs(lam) * row_norms, initial=0.0))
+    return res / scalar
+
+
 def kt_residuals(
     df: Array,
     lam: Array,
@@ -68,14 +133,10 @@ def kt_residuals(
         -------------------------------------------------------------
         max(1, ||df||_inf, ||nu_U||_inf, ||nu_L||_inf, max_i |lam_i| * ||J_i||_2)
     """
-    stat = df + jac.T @ lam + mult_x_U - mult_x_L
-    res = jnp.max(jnp.abs(stat), initial=0.0)
     row_norms = jnp.sqrt(jnp.sum(jac * jac, axis=1))
-    scalar = jnp.maximum(1.0, jnp.max(jnp.abs(df), initial=0.0))
-    scalar = jnp.maximum(scalar, jnp.max(jnp.abs(mult_x_U), initial=0.0))
-    scalar = jnp.maximum(scalar, jnp.max(jnp.abs(mult_x_L), initial=0.0))
-    scalar = jnp.maximum(scalar, jnp.max(jnp.abs(lam) * row_norms, initial=0.0))
-    return res / scalar
+    return kt_residuals_from_parts(
+        df, lam, mult_x_U, mult_x_L, jac.T @ lam, row_norms
+    )
 
 
 def norm_complementarity(

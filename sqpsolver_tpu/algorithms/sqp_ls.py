@@ -151,24 +151,12 @@ def make_ls_solver(
             off = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(jnp.diagonal(H))
             lmin = jnp.min(jnp.diagonal(H) - off, initial=0.0)
         elif params.hessian_shift == "power":
-            # shifted power iteration: sigma >= lambda_max via Gershgorin
-            # upper bound, then lambda_max(sigma I - H) = sigma - lambda_min.
-            # ~40 matvecs, tiny compiled program, near-exact shift — the
-            # TPU default (eigh compiles a large QR-iteration program)
-            off = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(jnp.diagonal(H))
-            sigma = jnp.max(jnp.diagonal(H) + off, initial=0.0)
-            v0 = jnp.ones((n,), dtype) + jnp.arange(n, dtype=dtype) / n
+            # Lanczos lower bound on lambda_min — see
+            # common.lanczos_lmin_bound (a plain power iteration on
+            # sigma I - H under-estimates clustered negative eigenvalues)
+            from .common import lanczos_lmin_bound
 
-            def pw(_, vec):
-                bv = sigma * vec - H @ vec
-                return bv / jnp.maximum(jnp.linalg.norm(bv), 1e-30)
-
-            v = lax.fori_loop(0, 80, pw, v0 / jnp.linalg.norm(v0))
-            lmax_b = v @ (sigma * v - H @ v)
-            # the Rayleigh quotient under-estimates lambda_max(B), i.e.
-            # under-shifts; inflate by 30% of the estimated negative part
-            lmin = sigma - lmax_b
-            lmin = jnp.where(lmin < 0.0, 1.3 * lmin, lmin)
+            lmin = lanczos_lmin_bound(lambda vv: H @ vv, n, dtype, iters=40)
         else:
             # f32 is ample precision for a convexification bound, and f64
             # eigendecompositions are software-emulated on TPU; pad the
@@ -200,7 +188,7 @@ def make_ls_solver(
         )
         return jnp.where(jnp.isfinite(phi), phi, jnp.asarray(jnp.inf, dtype))
 
-    def solve_subproblem(x, df, E, J, H_qp, fr, d: NLPData):
+    def solve_subproblem(x, df, E, J, H_qp, fr, d: NLPData, skip=None):
         rl = d.g_l - E
         ru = d.g_u - E
         v_lb = d.x_l - x
@@ -217,7 +205,7 @@ def make_ls_solver(
         )
         Q = jnp.where(fr, jnp.zeros_like(H_qp), H_qp)
         c = jnp.where(fr, jnp.zeros_like(df), df)
-        sol = solve_qp(Q, c, J, rl, ru, lb, ub, w, opts=ipm_opts)
+        sol = solve_qp(Q, c, J, rl, ru, lb, ub, w, opts=ipm_opts, skip=skip)
         # drop step-box duals that belong to the fixed |p|<=1000 box rather
         # than a true variable bound (see sqp_tr.solve_subproblem)
         sol = sol._replace(
@@ -270,7 +258,7 @@ def make_ls_solver(
 
         H_qp = convexify(H)
         sol, qp_infeasible, qp_bad = solve_subproblem(
-            st.x, df, E, J, H_qp, st.fr, d
+            st.x, df, E, J, H_qp, st.fr, d, skip=st.done
         )
         failed = jnp.logical_or(qp_infeasible, qp_bad)
         p = jnp.where(failed, 0.0, sol.p)
@@ -413,8 +401,12 @@ def make_ls_solver(
         lb = jnp.maximum(-_LS_TR, v_lb)
         ub = jnp.minimum(_LS_TR, v_ub)
         w = jnp.full((m,), w_big, dtype)
-        soc_sol = solve_qp(H_qp, df, J, rl, ru, lb, ub, w, opts=ipm_opts)
         need_soc = jnp.logical_and(live_step, ~ls_ok)
+        # per-lane skip: when no lane failed its line search the SOC QP's
+        # while_loop exits at trip 0 (same gating as the TR driver)
+        soc_sol = solve_qp(
+            H_qp, df, J, rl, ru, lb, ub, w, opts=ipm_opts, skip=~need_soc
+        )
         soc = jnp.where(need_soc, soc_sol.p, 0.0)
         alpha = jnp.where(need_soc, 1.0, alpha)
         st = st._replace(

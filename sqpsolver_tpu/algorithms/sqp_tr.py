@@ -49,10 +49,15 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..nlp import NLP, NLPData, initial_point
-from ..ops.qp_ipm import IpmOptions, solve_qp
+from ..ops.qp_ipm import IpmOptions, solve_qp, solve_qp_op
 from ..parameters import Parameters
 from ..status import Status
-from .common import kt_residuals, norm_violations
+from .common import (
+    kt_residuals,
+    kt_residuals_from_parts,
+    lanczos_lmin_bound,
+    norm_violations,
+)
 
 Array = jax.Array
 
@@ -180,7 +185,10 @@ def make_solver(
     # on barrier-ill-conditioned KKT systems — ample for the 1e-6/1e-4
     # ACOPF tolerance regime; use direct float64 for 1e-8-grade solves
     qp_tol_eff = max(params.qp_tol, 30.0 * float(jnp.finfo(dtype).eps))
-    if params.kkt_precision.startswith("mixed"):
+    if params.kkt_precision.startswith("mixed") or params.kkt_structured:
+        # float32-factorized KKT (mixed modes and the always-f32 BBD
+        # structured backend) bottoms out around 1e-6 on barrier-ill-
+        # conditioned systems
         qp_tol_eff = max(qp_tol_eff, 2.0e-6)
     ipm_opts = IpmOptions(
         max_iter=params.qp_max_iter,
@@ -190,16 +198,90 @@ def make_solver(
             "float32" if params.kkt_precision.startswith("mixed") else "same"
         ),
         ir_steps=(
-            max(4, params.kkt_ir_steps)
+            max(2, params.kkt_ir_steps)
             if params.kkt_precision == "mixed_plane"
             else params.kkt_ir_steps
         ),
         kkt_backend=params.kkt_backend,
         plane=params.kkt_precision == "mixed_plane",
+        # structured backend: bounded condensation of the folded active
+        # inequality rows (its Schur set is static — equalities only)
+        invE_floor=1.0e-8 if params.kkt_structured else 0.0,
     )
     w_big = jnp.asarray(params.elastic_weight, dtype)
     # row index helper: linear rows lead (canonical ordering, SURVEY §3.2)
     is_linear_row = jnp.arange(m) < n_lin
+
+    # ---------------------------------------------- structured (BBD) mode ---
+    # Block-structured KKT path: derivatives arrive coloring-compressed and
+    # are gathered into bordered-block-diagonal local blocks; the QP solver
+    # runs through ops.kkt_bbd.BbdOperator instead of dense (Q, A).  This is
+    # the TPU-native equivalent of the reference's sparse-callback + ma57
+    # pipeline (model.jl:21-47, examples/acopf/opf.jl:59-64).
+    structured = bool(params.kkt_structured)
+    if structured and nlp.structure is None:
+        raise ValueError(
+            "kkt_structured=True requires nlp.structure (see "
+            "sqpsolver_tpu.structure.NLPStructure; models can also use "
+            "structure.detect_structure)"
+        )
+    if structured:
+        import numpy as _np
+
+        from ..ops.kkt_bbd import BbdOperator, BlockMaps
+        from ..structure import build_block_structure
+
+        g_l_np = _np.asarray(nlp.g_l, dtype=_np.float64)
+        g_u_np = _np.asarray(nlp.g_u, dtype=_np.float64)
+        eq_mask_np = _np.isfinite(g_l_np) & (g_l_np == g_u_np)
+        bs = build_block_structure(
+            n, m, nlp.structure, eq_mask_np,
+            n_parts=(params.kkt_parts or None),
+        )
+        maps = BlockMaps(bs)
+        # jvp/hvp seed matrices from the colorings (one-hot per color)
+        seedsJ_np = _np.zeros((bs.nJ, n))
+        seedsJ_np[bs.colorJ, _np.arange(n)] = 1.0
+        seedsH_np = _np.zeros((bs.nH, n))
+        seedsH_np[bs.colorH, _np.arange(n)] = 1.0
+        seedsJ = jnp.asarray(seedsJ_np, dtype)
+        seedsH = jnp.asarray(seedsH_np, dtype)
+
+        def jac_mv(J, p):
+            return maps.j_mv(J, p)
+
+        def jac_rmv(J, y):
+            return maps.j_rmv(J, y)
+
+        def jac_row_norms(J):
+            return maps.j_row_norms(J)
+
+        def hess_mv(H, v):
+            return maps.h_mv(H, v)
+
+        def zero_hess(ref_dtype):
+            z = lambda *s: jnp.zeros(s, ref_dtype)
+            return (
+                z(bs.P, bs.nd, bs.nd), z(bs.P, bs.nd, bs.ns),
+                z(bs.ns, bs.ns),
+            )
+
+        def qp_operator(H_blocks, J_blocks):
+            return BbdOperator(maps, J_blocks, H_blocks, ipm_opts)
+
+    else:
+
+        def jac_mv(J, p):
+            return J @ p
+
+        def jac_rmv(J, y):
+            return J.T @ y
+
+        def jac_row_norms(J):
+            return jnp.sqrt(jnp.sum(J * J, axis=1))
+
+        def hess_mv(H, v):
+            return H @ v
 
     tol_dir = params.tol_direction
     tol_res = params.tol_residual
@@ -210,15 +292,41 @@ def make_solver(
     solve_t0 = [0.0]  # host-side clock for the iteration printer
 
     # ------------------------------------------------------------- evals ----
-    def eval_all(x, lam, theta):
-        f, df = nlp.obj_grad(x, theta)
-        E = nlp.cons(x, theta)
-        J = nlp.cons_jac(x, theta)
-        if exact_hessian:
-            H = nlp.lag_hess(x, lam, theta)
-        else:
-            H = jnp.zeros((n, n), dtype)  # SLP mode: LP subproblems
-        return f, df, E, J, H
+    if structured:
+
+        def eval_all(x, lam, theta):
+            f, df = nlp.obj_grad(x, theta)
+            E = nlp.cons(x, theta)
+            gfun = lambda z: nlp.cons(z, theta)
+            # coloring-compressed Jacobian: nJ jvp passes instead of n
+            Jc = jax.vmap(lambda s: jax.jvp(gfun, (x,), (s,))[1])(seedsJ)
+            J = maps.jac_blocks(Jc.T)
+            if exact_hessian:
+                def lag_grad(z):
+                    val = nlp.obj(z, theta)
+                    if nlp.g is not None:
+                        val = val + jnp.dot(lam, nlp.cons(z, theta))
+                    return val
+
+                glag = jax.grad(lag_grad)
+                # compressed Lagrangian Hessian: nH HVP passes
+                Hc = jax.vmap(lambda s: jax.jvp(glag, (x,), (s,))[1])(seedsH)
+                H = maps.hess_blocks(Hc.T)
+            else:
+                H = zero_hess(x.dtype)  # SLP mode: LP subproblems
+            return f, df, E, J, H
+
+    else:
+
+        def eval_all(x, lam, theta):
+            f, df = nlp.obj_grad(x, theta)
+            E = nlp.cons(x, theta)
+            J = nlp.cons_jac(x, theta)
+            if exact_hessian:
+                H = nlp.lag_hess(x, lam, theta)
+            else:
+                H = jnp.zeros((n, n), dtype)  # SLP mode: LP subproblems
+            return f, df, E, J, H
 
     def viol1(E, x, d: NLPData):
         return norm_violations(E, d.g_l, d.g_u, x, d.x_l, d.x_u, ord=1)
@@ -249,34 +357,31 @@ def make_solver(
         with jax.default_matmul_precision("float32"):
             return _convexify_impl(H)
 
+    def _gershgorin_data(H):
+        """(diag, off-diagonal |row| sums) — backend-generic."""
+        if structured:
+            diag, rowabs = maps.h_diag_rowabs(H)
+            return diag, rowabs - jnp.abs(diag)
+        diag = jnp.diagonal(H)
+        return diag, jnp.sum(jnp.abs(H), axis=1) - jnp.abs(diag)
+
     def _convexify_impl(H):
         if params.hessian_shift == "gershgorin":
             # lambda_min >= min_i (H_ii - sum_{j != i} |H_ij|): conservative
             # (can over-shift by orders of magnitude -> damped steps) but a
             # single cheap pass
-            off = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(jnp.diagonal(H))
-            lmin = jnp.min(jnp.diagonal(H) - off, initial=0.0)
-        elif params.hessian_shift == "power":
-            # shifted power iteration: sigma >= lambda_max via Gershgorin
-            # upper bound, then lambda_max(sigma I - H) = sigma - lambda_min.
-            # ~40 matvecs, tiny compiled program, near-exact shift — the
-            # TPU-friendly choice when compile time matters (the shipped
-            # default is "eigh", parameters.py; eigh compiles a large
-            # QR-iteration program but gives the exact bound)
-            off = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(jnp.diagonal(H))
-            sigma = jnp.max(jnp.diagonal(H) + off, initial=0.0)
-            v0 = jnp.ones((n,), dtype) + jnp.arange(n, dtype=dtype) / n
-
-            def pw(_, vec):
-                bv = sigma * vec - H @ vec
-                return bv / jnp.maximum(jnp.linalg.norm(bv), 1e-30)
-
-            v = lax.fori_loop(0, 80, pw, v0 / jnp.linalg.norm(v0))
-            lmax_b = v @ (sigma * v - H @ v)
-            # the Rayleigh quotient under-estimates lambda_max(B), i.e.
-            # under-shifts; inflate by 30% of the estimated negative part
-            lmin = sigma - lmax_b
-            lmin = jnp.where(lmin < 0.0, 1.3 * lmin, lmin)
+            diag, off = _gershgorin_data(H)
+            lmin = jnp.min(diag - off, initial=0.0)
+        elif params.hessian_shift == "power" or structured:
+            # Lanczos lower bound on lambda_min (40 matvecs + a tiny k x k
+            # eigh) — matvec-only, so it serves both the dense "power" mode
+            # and the block-structured path (no dense H exists there).  A
+            # plain power iteration on sigma I - H was tried first and
+            # under-estimated clustered negative eigenvalues several-fold,
+            # handing the IPM nonconvex QPs (see common.lanczos_lmin_bound).
+            lmin = lanczos_lmin_bound(
+                lambda vv: hess_mv(H, vv), n, dtype, iters=40
+            )
         else:
             # f32 is ample precision for a convexification bound, and f64
             # eigendecompositions are software-emulated on TPU; pad the
@@ -288,14 +393,33 @@ def make_solver(
             # boundary-based unbounded/TR-growth heuristics
             pad = 4.0e-7 * jnp.max(jnp.abs(H), initial=0.0)
             lmin = lmin32.astype(dtype) - pad
-        shift = jnp.maximum(0.0, -lmin) + jnp.where(
-            lmin < 1e-8, 1e-8 * (1.0 + jnp.abs(lmin)), 0.0
-        )
+        # shift floor: float32-factorized KKT paths (mixed modes / structured
+        # BBD) cannot usefully factor a PSD-singular Hessian's K — the floor
+        # supplies the minimum curvature the f32 factor needs.  Magnitude is
+        # calibrated to match the "eigh" mode's pad (4e-7 * |H|), which was
+        # measured robust on case118: a 2e-6 * Gershgorin-scale floor (20-50x
+        # larger) visibly damped early ACOPF iterations (singular-at-lam=0
+        # Hessians -> mean SQP iterations doubled), while 1e-8-absolute left
+        # f32 factors noise-dominated (lanes failing with status -3).
+        f32_factor = params.kkt_precision.startswith("mixed") or structured
+        if f32_factor:
+            diag_g, off_g = _gershgorin_data(H)
+            scale = 1.0 + jnp.max(jnp.abs(diag_g) + off_g, initial=0.0)
+            floor = 4.0e-7 * scale
+        else:
+            floor = 1e-8 * (1.0 + jnp.abs(lmin))
+        shift = jnp.maximum(0.0, -lmin) + jnp.where(lmin < floor, floor, 0.0)
+        if structured:
+            return maps.h_add_diag(H, shift)
         return H + shift * jnp.eye(n, dtype=dtype)
 
     def solve_subproblem(st: SqpState, d: NLPData, H_qp):
         """Normal/FR trust-region QP via input selection (no control flow —
-        mirrors the sub_optimize! dispatch at sqp_trust_region.jl:314-331)."""
+        mirrors the sub_optimize! dispatch at sqp_trust_region.jl:314-331).
+
+        Done lanes skip: their inner IPM while_loop exits at iteration 0, so
+        a batch's QP cost follows the slowest *active* lane (per-lane early
+        exit, VERDICT r1 item 2)."""
         rl = d.g_l - st.E
         ru = d.g_u - st.E
         lb, ub = _trust_region_box(st.x, d.x_l, d.x_u, st.tr)
@@ -305,9 +429,18 @@ def make_solver(
         freed = jnp.logical_and(violated, ~is_linear_row)
         w_fr = jnp.where(freed, jnp.asarray(1.0, dtype), w_big)
         w = jnp.where(st.fr, w_fr, w_big)
-        Q = jnp.where(st.fr, jnp.zeros_like(st.H), H_qp)
         c = jnp.where(st.fr, jnp.zeros_like(st.df), st.df)
-        sol = solve_qp(Q, c, st.J, rl, ru, lb, ub, w, opts=ipm_opts)
+        if structured:
+            Q = jax.tree.map(lambda h: jnp.where(st.fr, 0.0, h), H_qp)
+            sol = solve_qp_op(
+                qp_operator(Q, st.J), c, rl, ru, lb, ub, w,
+                opts=ipm_opts, skip=st.done,
+            )
+        else:
+            Q = jnp.where(st.fr, jnp.zeros_like(st.H), H_qp)
+            sol = solve_qp(
+                Q, c, st.J, rl, ru, lb, ub, w, opts=ipm_opts, skip=st.done
+            )
         # keep a box dual as an NLP bound multiplier only when the TRUE
         # variable bound (not the trust region) is the active side of the
         # clipped box.  The reference stores JuMP reduced costs of the
@@ -336,23 +469,36 @@ def make_solver(
         qp_bad = jnp.logical_and(qp_bad, ~infeasible)
         return sol, infeasible, qp_bad
 
-    def solve_soc(st: SqpState, E_trial, d: NLPData, H_qp):
+    def solve_soc(st: SqpState, E_trial, d: NLPData, H_qp, try_soc):
         """Second-order correction QP (sqp_trust_region.jl:341-360):
-        re-linearize the residual at x+p and resolve."""
-        E_soc = E_trial - st.J @ st.p
+        re-linearize the residual at x+p and resolve.
+
+        Lanes whose step was accepted (or in FR) skip: when *no* lane needs
+        the correction the SOC while_loop exits at trip 0, removing the
+        unconditional second QP per iteration flagged in VERDICT r1."""
+        E_soc = E_trial - jac_mv(st.J, st.p)
         rl = d.g_l - E_soc
         ru = d.g_u - E_soc
         lb, ub = _trust_region_box(st.x, d.x_l, d.x_u, st.tr)
         w = jnp.full((m,), w_big, dtype)
-        sol = solve_qp(H_qp, st.df, st.J, rl, ru, lb, ub, w, opts=ipm_opts)
+        if structured:
+            sol = solve_qp_op(
+                qp_operator(H_qp, st.J), st.df, rl, ru, lb, ub, w,
+                opts=ipm_opts, skip=~try_soc,
+            )
+        else:
+            sol = solve_qp(
+                H_qp, st.df, st.J, rl, ru, lb, ub, w, opts=ipm_opts,
+                skip=~try_soc,
+            )
         return st.p + sol.p, sol.iters
 
     def qmodel(st: SqpState, p, d: NLPData, with_step):
         """q(p) = df'p + 1/2 p'Hp + mu * ||linearized viol||_1
         (sqp_trust_region.jl:487-508); q(0) = mu * ||viol at x||_1."""
         if with_step:
-            qval = st.df @ p + 0.5 * p @ (st.H @ p)
-            E_lin = st.E + st.J @ p
+            qval = st.df @ p + 0.5 * p @ hess_mv(st.H, p)
+            E_lin = st.E + jac_mv(st.J, p)
             x_t = st.x + p
         else:
             qval = jnp.asarray(0.0, dtype)
@@ -435,7 +581,10 @@ def make_solver(
         def refresh(_):
             f, df, E, J, H = eval_all(st.x, st.lam, theta)
             prim = viol1(E, st.x, d)
-            dual = kt_residuals(df, st.lam, st.mult_up, st.mult_lo, J)
+            dual = kt_residuals_from_parts(
+                df, st.lam, st.mult_up, st.mult_lo,
+                jac_rmv(J, st.lam), jac_row_norms(J),
+            )
             return f, df, E, J, H, prim, dual
 
         def keep(_):
@@ -628,7 +777,8 @@ def make_solver(
             try_soc = jnp.logical_and(
                 jnp.logical_and(~accept, c_k > 0.0), ~st.fr
             )
-            p_soc, soc_qp_iters = solve_soc(st, E_t, d, H_qp)
+            try_soc = jnp.logical_and(try_soc, live_step)
+            p_soc, soc_qp_iters = solve_soc(st, E_t, d, H_qp, try_soc)
             x_soc = st.x + p_soc
             f_soc = nlp.obj(x_soc, theta)
             E_soc_t = nlp.cons(x_soc, theta)
@@ -695,8 +845,10 @@ def make_solver(
         mlo = jnp.zeros((n,), dtype)
         mup = jnp.zeros((n,), dtype)
 
-        # linear-feasibility projection (sqp_trust_region.jl:111-122,:264-304)
-        if n_lin > 0 and params.init_projection != "off":
+        # linear-feasibility projection (sqp_trust_region.jl:111-122,:264-304).
+        # Structured mode skips it: the projection QP would need a dense
+        # Jacobian; supply a linear-feasible x0 instead (ACOPF starts are).
+        if n_lin > 0 and params.init_projection != "off" and not structured:
             lpviol = jnp.sum(
                 jnp.maximum(0.0, d.g_l[:n_lin] - E0[:n_lin])
                 + jnp.maximum(0.0, E0[:n_lin] - d.g_u[:n_lin])
@@ -705,7 +857,9 @@ def make_solver(
             )
 
             # min ||x - x0||^2 over linear rows + bounds: Q=2I, c=-2 x0;
-            # nonlinear rows are freed by +-inf row bounds (they decouple)
+            # nonlinear rows are freed by +-inf row bounds (they decouple).
+            # Lanes already linear-feasible skip (trip count 0).
+            do_proj = lpviol > tol_inf
             rl = jnp.where(is_linear_row, d.g_l, -jnp.inf)
             ru = jnp.where(is_linear_row, d.g_u, jnp.inf)
             w = jnp.full((m,), w_big, dtype)
@@ -719,8 +873,8 @@ def make_solver(
                 d.x_u,
                 w,
                 opts=ipm_opts,
+                skip=~do_proj,
             )
-            do_proj = lpviol > tol_inf
             x0 = jnp.where(do_proj, _dropzeros(proj.p), x0)
             lam = jnp.where(do_proj, _dropzeros(proj.y), lam)
             mlo = jnp.where(do_proj, _dropzeros(proj.mult_lo), mlo)

@@ -173,6 +173,7 @@ def acopf_polar(case: PowerCase, scenario_batchable: bool = True) -> NLP:
         num_linear=1,
         theta=theta,
         name=f"acopf_acp_{case.name}",
+        structure=acopf_polar_structure(case),
     )
 
 
@@ -496,6 +497,55 @@ def acopf_wr(case: PowerCase, scenario_batchable: bool = True) -> NLP:
         theta=theta,
         name=f"acopf_wr_{case.name}",
     )
+
+
+def acopf_polar_structure(case: PowerCase):
+    """Exact structural sparsity of the polar ACOPF formulation (row-wise
+    variable supports), enabling the block-structured KKT path.
+
+    Mirrors the reference's sparse Jacobian/Hessian structure callbacks
+    (``/root/reference/src/model.jl:21-47``) — here derived analytically from
+    the network topology instead of reported by JuMP's AD.  Variable layout
+    (``acopf_polar``): ``[va (nb), vm (nb), pg (ng), qg (ng)]``; row layout:
+    ``[ref angle, P balance (nb), Q balance (nb), s_from (nl), s_to (nl)]``.
+    """
+    from ..structure import NLPStructure
+
+    nb, ng, nl = case.nb, case.ng, case.nl
+    va = lambda i: int(i)
+    vm = lambda i: int(nb + i)
+    pg = lambda k: int(2 * nb + k)
+    qg = lambda k: int(2 * nb + ng + k)
+
+    nbr: list[set] = [set() for _ in range(nb)]
+    for l in range(nl):
+        f, t = int(case.br_f[l]), int(case.br_t[l])
+        nbr[f].add(t)
+        nbr[t].add(f)
+    gens_at: list[list] = [[] for _ in range(nb)]
+    for k, b in enumerate(case.gen_bus):
+        gens_at[int(b)].append(k)
+
+    rows = [np.array([va(case.ref_bus)])]
+    for i in range(nb):  # P balance
+        cols = [va(i), vm(i)]
+        for j in sorted(nbr[i]):
+            cols += [va(j), vm(j)]
+        cols += [pg(k) for k in gens_at[i]]
+        rows.append(np.array(sorted(cols)))
+    for i in range(nb):  # Q balance
+        cols = [va(i), vm(i)]
+        for j in sorted(nbr[i]):
+            cols += [va(j), vm(j)]
+        cols += [qg(k) for k in gens_at[i]]
+        rows.append(np.array(sorted(cols)))
+    for l in range(nl):  # s_from
+        f, t = int(case.br_f[l]), int(case.br_t[l])
+        rows.append(np.array(sorted({va(f), vm(f), va(t), vm(t)})))
+    for l in range(nl):  # s_to
+        f, t = int(case.br_f[l]), int(case.br_t[l])
+        rows.append(np.array(sorted({va(f), vm(f), va(t), vm(t)})))
+    return NLPStructure(row_cols=tuple(rows))
 
 
 def load_scenarios(case: PowerCase, batch: int, seed: int = 0, spread: float = 0.1):

@@ -52,6 +52,35 @@ def _extract_scalar(text: str, name: str, default=None) -> float:
     return float(m.group(1))
 
 
+#: vendored standard public cases (sqpsolver_tpu/models/data/*.m) and the
+#: published MATPOWER AC-OPF optimal objective values ($/h) used as
+#: regression anchors (VERDICT r1 item 3)
+VENDORED_OPTIMA = {
+    "case5": 17551.89,
+    "case9": 5296.69,
+    "case14": 8081.52,
+    "case30": 576.89,
+}
+
+
+def load_case(name: str) -> PowerCase:
+    """Load a vendored standard case (``case5``, ``case14``, ``case30``) or
+    the in-code ``case9`` by name."""
+    if name == "case9":
+        from .power import case9
+
+        return case9()
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", f"{name}.m")
+    if not os.path.exists(path):
+        raise ValueError(
+            f"unknown vendored case {name!r}; available: "
+            f"{sorted(VENDORED_OPTIMA)}"
+        )
+    return parse_matpower(path, name=name)
+
+
 def parse_matpower(path: str, name: str | None = None) -> PowerCase:
     """Parse a MATPOWER .m file into a PowerCase (out-of-service branches and
     generators are dropped; bus numbers are mapped to dense 0-based indices)."""

@@ -72,6 +72,11 @@ class NLP:
     #: share one compiled solver — no reference counterpart, the reference is
     #: strictly single-instance, SURVEY §2.4).
     theta: Optional[object] = None
+    #: optional static sparsity pattern (structure.NLPStructure) enabling the
+    #: block-structured (BBD) KKT path for large instances — the TPU-native
+    #: stand-in for the reference's sparse COO callbacks + ma57 factorization
+    #: (model.jl:21-47, examples/acopf/opf.jl:59-64).  None = dense path.
+    structure: Optional[object] = None
 
     # NLP instances are static pytree-wise: functions + python ints.  Arrays
     # (bounds, x0) are data; jitted solvers take them as explicit args via

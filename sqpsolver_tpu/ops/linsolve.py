@@ -57,6 +57,7 @@ def factorize_spd(
     *,
     factor_dtype=None,
     backend: str = "xla",
+    min_pivot: float = 0.0,
 ) -> Factorization:
     """Cholesky-factorize ``M + delta I`` with escalating ``delta``.
 
@@ -65,6 +66,13 @@ def factorize_spd(
     NaN-free.  This is the regularized/condensed-KKT stability strategy that
     replaces sparse-LDL' pivoting (pivoting is hostile to fixed-shape TPU
     code; a diagonal shift is branch-free and batchable).
+
+    ``min_pivot > 0`` additionally escalates when the smallest Cholesky pivot
+    falls below it — on an *equilibrated* (unit-diagonal) matrix a tiny pivot
+    means the matrix is numerically singular at the factor's precision: the
+    factorization "succeeds" NaN-free but back-solves amplify noise and the
+    mixed-precision refinement diverges.  Pass ~1e-3 for float32 factors of
+    equilibrated KKT matrices; leave 0 for full-precision factors.
 
     ``backend``: "xla" (default) or "pallas" (the VMEM-resident blocked
     kernel in :mod:`sqpsolver_tpu.ops.kkt_pallas`; float32 tiles).
@@ -94,7 +102,11 @@ def factorize_spd(
 
     def attempt(delta):
         L = _chol((M + delta * eye).astype(fdtype))
-        return L, _chol_ok(L)
+        ok = _chol_ok(L)
+        if min_pivot > 0.0:
+            piv = jnp.min(jnp.diagonal(L, axis1=-2, axis2=-1), initial=jnp.inf)
+            ok = jnp.logical_and(ok, piv > min_pivot)
+        return L, ok
 
     L0, ok0 = attempt(delta0)
 
@@ -110,6 +122,17 @@ def factorize_spd(
 
     delta, L, ok, _ = lax.while_loop(cond, body, (delta0, L0, ok0, jnp.array(0)))
     return Factorization(chol=L, matrix=M + delta * eye, delta=delta, ok=ok)
+
+
+def tri_inv(L: Array) -> Array:
+    """Explicit inverse of a (possibly batched) lower-triangular factor: one
+    n-RHS triangular solve.  Back-solves then become (batched) matvecs
+    x = L^-T (L^-1 b) — ~10x faster than latency-bound vector-RHS triangular
+    solves on TPU."""
+    eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
+    return lax.linalg.triangular_solve(
+        L, eye, left_side=True, lower=True, transpose_a=False
+    )
 
 
 def _cho_solve(L: Array, b: Array) -> Array:
@@ -135,7 +158,10 @@ def solve_factorized(fact: Factorization, b: Array, ir_steps: int = 0) -> Array:
     x = _cho_solve(fact.chol, b).astype(dtype)
     if fact.chol.dtype == dtype and ir_steps == 0:
         return x
-    for _ in range(max(ir_steps, 1) if fact.chol.dtype != dtype else ir_steps):
+    sweeps = max(ir_steps, 1) if fact.chol.dtype != dtype else ir_steps
+
+    def sweep(_, x):
         r = b - fact.matrix @ x
-        x = x + _cho_solve(fact.chol, r).astype(dtype)
-    return x
+        return x + _cho_solve(fact.chol, r).astype(dtype)
+
+    return lax.fori_loop(0, sweeps, sweep, x)

@@ -63,9 +63,39 @@ def host_local_batch(
     return jax.tree.map(place, global_data)
 
 
+@jax.jit
+def _census_device(status):
+    """Global counts over a (possibly multi-host sharded) status array.
+
+    Plain jnp reductions: under GSPMD the sums lower to device-side
+    all-reduces over ICI/DCN and return replicated scalars on every process —
+    the psum census of SURVEY §5.8 (replacing the round-1 host-side numpy
+    reduction, which cannot even read a non-fully-addressable global array).
+    """
+    import jax.numpy as jnp
+
+    okset = jnp.asarray([0, 1, 6], status.dtype)
+    ok = jnp.sum(jnp.any(status[:, None] == okset[None, :], axis=1))
+    infeas = jnp.sum(status == 2)
+    return ok, infeas
+
+
 def convergence_census(status, mesh: Optional[Mesh] = None) -> dict:
-    """Fleet-level convergence counts (a psum-style global reduction; the only
-    cross-host communication a batched solve needs)."""
+    """Fleet-level convergence counts — the only cross-host communication a
+    batched solve needs.  jax.Array inputs reduce on-device (all-reduce over
+    the mesh; works for multi-process global arrays); host arrays fall back
+    to numpy."""
+    if isinstance(status, jax.Array):
+        ok, infeas = _census_device(status)
+        n_total = int(status.size)
+        n_ok = int(ok)
+        n_inf = int(infeas)
+        return {
+            "n_total": n_total,
+            "n_done_ok": n_ok,
+            "n_infeasible": n_inf,
+            "n_other": n_total - n_ok - n_inf,
+        }
     status = np.asarray(status)
     return {
         "n_total": int(status.size),

@@ -87,6 +87,16 @@ class Parameters:
     #: reference); "off": skip entirely — saves one QP instantiation of
     #: compile time when the start point is known linear-feasible
     init_projection: str = "auto"
+    #: use the block-structured (bordered-block-diagonal) KKT path: the
+    #: condensed KKT matrix is never formed densely; interiors factor as
+    #: batched dense Cholesky blocks + one dense separator Schur complement
+    #: (ops/kkt_bbd.py).  Requires ``nlp.structure``.  This is the TPU-native
+    #: stand-in for the reference's sparse ma57 factorization at case300+
+    #: scale (examples/acopf/opf.jl:59-64).
+    kkt_structured: bool = False
+    #: number of interior blocks for the structured path (0 = auto: ~128
+    #: variables per block)
+    kkt_parts: int = 0
     #: indefinite-Hessian convexification bound: "eigh" (exact smallest
     #: eigenvalue; compiles a large QR-iteration program), "power" (shifted
     #: power iteration, ~40 matvecs, near-exact — the TPU-friendly choice),

@@ -25,8 +25,18 @@ jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: repeated test runs skip XLA recompiles
 # (disable with SQP_NO_JAX_CACHE=1 e.g. when several jax processes run
-# concurrently)
+# concurrently).  NB: a CPU-ONLY cache dir — sharing one dir with TPU/axon
+# runs poisons it with entries whose XLA:CPU AOT serialization targets other
+# machine features; deserializing them warns "could lead to SIGILL" and
+# re-serializing alongside them segfaulted full-suite runs (observed round 2
+# in compilation_cache.put_executable_and_time).
 if not os.environ.get("SQP_NO_JAX_CACHE"):
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sqpsolver_tpu_jax_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/sqpsolver_tpu_jax_cache_cputests"
+    )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # only cache expensive compiles: the XLA:CPU executable serializer on
+    # this box segfaults intermittently under many rapid cache writes (the
+    # HS battery compiles ~75 small programs); 5 s keeps the big ACOPF/QP
+    # programs cached while skipping the crash-prone burst of small writes
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -1,0 +1,85 @@
+"""Real multi-process jax.distributed execution (VERDICT r1 item 8).
+
+Spawns two OS processes, each with 2 virtual CPU devices, initializes
+jax.distributed against a local coordinator, builds the global instance mesh
+over all 4 devices, runs a sharded batched solve, and verifies the
+device-side convergence census (an all-reduce over the global array) agrees
+on every process.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import jax
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import sqpsolver_tpu as sqp
+from sqpsolver_tpu.models.toy import toy_nlp
+from sqpsolver_tpu.parallel import multihost as mh
+from sqpsolver_tpu.parallel import sharding as shd
+from sqpsolver_tpu.parallel.batch import batch_data
+
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+mesh = mh.global_instance_mesh()
+nlp = toy_nlp()
+params = sqp.Parameters(max_iter=30, OutputFlag=0)
+data = batch_data(nlp, 4, dtype=jnp.float64)
+data = mh.host_local_batch(data, mesh)
+solver = shd.make_sharded_solver(nlp, params, mesh)
+out = solver(data)
+census = mh.convergence_census(out.status)
+assert census["n_total"] == 4, census
+assert census["n_done_ok"] == 4, census
+print(f"MPOK {pid}", flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU-tunnel claim in workers
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    # each worker gets its own compile cache (no lock contention)
+    procs = []
+    for pid in (0, 1):
+        e = dict(env)
+        e["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / f"cache{pid}")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _WORKER, str(pid), str(port)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                env=e,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=850)
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"MPOK {pid}" in out, out[-2000:]
