@@ -80,6 +80,7 @@ def main():
         # iteration replaces an 84 ms batched eigh with ~4 ms of matvecs
         kkt_precision=os.environ.get("SQP_BENCH_PREC", "mixed_plane"),
         hessian_shift=os.environ.get("SQP_BENCH_SHIFT", "power"),
+        kkt_ir_steps=int(os.environ.get("SQP_BENCH_IR", "2")),
         kkt_structured=structured,
         # ACOPF starts are linear-feasible (ref-angle row at 0): skip the
         # projection QP trace entirely — one fewer IPM instantiation of

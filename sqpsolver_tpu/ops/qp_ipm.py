@@ -774,11 +774,14 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         better = err < st["best"]["err"]
         # stall: counts only once the best iterate is already *usable*
         # (below sqrt(tol), the driver's step-acceptance threshold) — the
-        # early centering phase may plateau err legitimately; the tail at
-        # the mixed-precision floor is what this trims
+        # early centering phase may plateau err legitimately.  In the usable
+        # regime demand a 10%-per-iteration improvement: the last decade
+        # above the mixed-precision floor otherwise consumes most of
+        # max_iter at max-over-lanes cost under vmap.
         usable = st["best"]["err"] < jnp.sqrt(jnp.asarray(opts.tol, dtype))
+        improved10 = err < 0.9 * st["best"]["err"]
         new["since_improve"] = jnp.where(
-            jnp.logical_and(usable, ~better),
+            jnp.logical_and(usable, ~improved10),
             st["since_improve"] + 1,
             0,
         )

@@ -42,8 +42,9 @@ data = mh.host_local_batch(data, mesh)
 solver = shd.make_sharded_solver(nlp, params, mesh)
 out = solver(data)
 census = mh.convergence_census(out.status)
-assert census["n_total"] == 4, census
-assert census["n_done_ok"] == 4, census
+# each of the 2 hosts contributes its local batch of 4 -> global batch 8
+assert census["n_total"] == 8, census
+assert census["n_done_ok"] == 8, census
 print(f"MPOK {pid}", flush=True)
 """
 
