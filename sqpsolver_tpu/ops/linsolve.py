@@ -51,6 +51,40 @@ def _chol_ok(L: Array) -> Array:
     return jnp.all(jnp.isfinite(L))
 
 
+@jax.custom_batching.custom_vmap
+def _chol_pallas(A: Array) -> Array:
+    """Cholesky through the Pallas-blocked path, single-matrix semantics.
+
+    The custom vmap rule is the point: the SQP/IPM stack batches instances
+    with ``jax.vmap``, and this routes the WHOLE batch into one
+    :func:`sqpsolver_tpu.ops.chol_blocked.cholesky_blocked` call — panel
+    matmuls stay batched MXU work and the sequential 128x128 diagonal-block
+    factorization runs as one fused Pallas kernel across all lanes.  On
+    non-TPU backends (tests) the kernel runs in interpreter mode.
+    """
+    from .chol_blocked import cholesky_blocked
+
+    interp = jax.default_backend() not in ("tpu", "axon")
+    return cholesky_blocked(A[None], interpret=interp)[0]
+
+
+@_chol_pallas.def_vmap
+def _chol_pallas_vmap(axis_size, in_batched, A):
+    from .chol_blocked import cholesky_blocked
+
+    (a_batched,) = in_batched
+    if not a_batched:
+        A = jnp.broadcast_to(A, (axis_size,) + A.shape)
+    interp = jax.default_backend() not in ("tpu", "axon")
+    if A.ndim > 3:  # nested vmap: flatten to one batch axis
+        lead = A.shape[:-2]
+        L = cholesky_blocked(
+            A.reshape((-1,) + A.shape[-2:]), interpret=interp
+        ).reshape(lead + A.shape[-2:])
+        return L, True
+    return cholesky_blocked(A, interpret=interp), True
+
+
 def factorize_spd(
     M: Array,
     delta0: Array | float = 0.0,
@@ -74,8 +108,12 @@ def factorize_spd(
     mixed-precision refinement diverges.  Pass ~1e-3 for float32 factors of
     equilibrated KKT matrices; leave 0 for full-precision factors.
 
-    ``backend``: "xla" (default) or "pallas" (the VMEM-resident blocked
-    kernel in :mod:`sqpsolver_tpu.ops.kkt_pallas`; float32 tiles).
+    ``backend``: "xla" (default) or "pallas" — the blocked factorization
+    (:mod:`sqpsolver_tpu.ops.chol_blocked`, float32) with a custom vmap rule
+    that collapses a vmapped batch into one fused call.  Measured on v5e the
+    two are within ~10%% of each other (XLA's batched cholesky is already
+    near its practical bound); "pallas" exists as the tunable alternative,
+    "xla" stays the default.
     """
     n = M.shape[-1]
     dtype = M.dtype
@@ -90,11 +128,7 @@ def factorize_spd(
     delta0 = jnp.asarray(delta0, dtype)
 
     if backend == "pallas":
-        from .kkt_pallas import cholesky_pallas
-
-        def _chol(A):
-            return cholesky_pallas(A)
-
+        _chol = _chol_pallas
     else:
 
         def _chol(A):

@@ -91,7 +91,7 @@ class IpmOptions:
     fixed_var_ridge: float = 1.0e10  # penalty pinning fixed variables (lb==ub)
     factor_dtype: str = "same"  # "same" or "float32" (mixed-precision KKT)
     ir_steps: int = 2  # refinement sweeps when factor_dtype != compute dtype
-    kkt_backend: str = "xla"  # "xla" | "pallas" (ops.kkt_pallas)
+    kkt_backend: str = "xla"  # "xla" | "pallas" (ops.chol_blocked)
     plane: bool = False  # f32 matrix-plane solves (block-level refinement)
     #: replace triangular back-solves by explicit inverse-factor matvecs in
     #: the f32 plane.  A vector-RHS triangular solve is latency-bound on TPU

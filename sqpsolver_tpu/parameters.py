@@ -79,7 +79,7 @@ class Parameters:
     #: number of iterative-refinement sweeps for the mixed modes
     kkt_ir_steps: int = 2
     #: KKT factorization backend: "xla" (jnp.linalg.cholesky) or "pallas"
-    #: (VMEM-resident blocked kernel, ops/kkt_pallas.py)
+    #: (blocked Pallas+MXU factorization, ops/chol_blocked.py)
     kkt_backend: str = "xla"
     #: solve the initial linear-feasibility projection QP
     #: (sqp_trust_region.jl:111-122).  "auto": compiled in whenever linear
