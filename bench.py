@@ -54,13 +54,20 @@ def main():
     dtype = os.environ.get("SQP_BENCH_DTYPE", default_dtype)
 
     # real vendored MATPOWER data where available (case5/9/14/30 — VERDICT r1
-    # item 3); larger sizes use the seeded synthetic generator
+    # item 3); multiples of 30 are interconnected replicas of the validated
+    # case30 (real physics at case118/case300 scale, models/power.py
+    # replicate_case); other sizes use the seeded synthetic generator
     if nbus in (5, 14, 30):
         from sqpsolver_tpu.models.matpower import load_case
 
         case = load_case(f"case{nbus}")
     elif nbus == 9:
         case = case9()
+    elif nbus % 30 == 0:
+        from sqpsolver_tpu.models.matpower import load_case
+        from sqpsolver_tpu.models.power import replicate_case
+
+        case = replicate_case(load_case("case30"), nbus // 30)
     else:
         case = synthetic_case(nbus, seed=1)
     nlp = acopf_polar(case)

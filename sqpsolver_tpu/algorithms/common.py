@@ -157,3 +157,37 @@ def norm_complementarity(
     else:
         num = jnp.linalg.norm(compl, ord=ord)
     return num / (1.0 + denom)
+
+
+def schur_cap_for(params, nlp) -> int:
+    """Resolve Parameters.schur_cap into a concrete IpmOptions.schur_cap.
+
+    The bounded Schur set (qp_ipm.IpmOptions.schur_cap) is only compiled in
+    for the dense float32-factorized fast path, and only when it shrinks the
+    (m, m) Schur factorization meaningfully: cap = static equality count +
+    headroom for active inequalities (at least 32 rows, at least a quarter
+    of the inequality rows), rounded up to a lane-friendly multiple of 8.
+    The strict-tolerance direct f64 path stays uncapped — the bounded-
+    condensation floor (invE_floor ~ 3e-7) would block 1e-10 QP residuals.
+    """
+    m = nlp.m
+    if (
+        params.schur_cap == 0
+        or params.kkt_structured
+        or not params.kkt_precision.startswith("mixed")
+        or m == 0
+    ):
+        return 0
+    if params.schur_cap > 0:
+        return min(params.schur_cap, m)
+    import numpy as _np
+
+    m_eq = int(
+        _np.sum(
+            _np.broadcast_to(_np.asarray(nlp.g_l), (m,))
+            == _np.broadcast_to(_np.asarray(nlp.g_u), (m,))
+        )
+    )
+    cap = m_eq + max(32, (m - m_eq + 3) // 4)
+    cap = min(m, ((cap + 7) // 8) * 8)
+    return cap if cap <= int(0.75 * m) else 0

@@ -45,6 +45,7 @@ from .common import (
     kt_residuals,
     norm_complementarity,
     norm_violations,
+    schur_cap_for,
 )
 
 Array = jax.Array
@@ -96,7 +97,8 @@ def make_ls_solver(
     # on barrier-ill-conditioned KKT systems — ample for the 1e-6/1e-4
     # ACOPF tolerance regime; use direct float64 for 1e-8-grade solves
     qp_tol_eff = max(params.qp_tol, 30.0 * float(jnp.finfo(dtype).eps))
-    if params.kkt_precision.startswith("mixed"):
+    polish = params.kkt_precision == "mixed_polish" and dtype == jnp.float64
+    if params.kkt_precision.startswith("mixed") and not polish:
         qp_tol_eff = max(qp_tol_eff, 2.0e-6)
     ipm_opts = IpmOptions(
         max_iter=params.qp_max_iter,
@@ -112,6 +114,11 @@ def make_ls_solver(
         ),
         kkt_backend=params.kkt_backend,
         plane=params.kkt_precision == "mixed_plane",
+        polish_iters=20 if polish else 0,
+        # bounded Schur set for the f32-factorized fast path (see sqp_tr /
+        # qp_ipm.IpmOptions.schur_cap); overflow rows fold with bounded 1/E
+        invE_floor=3.0e-7 if schur_cap_for(params, nlp) else 0.0,
+        schur_cap=schur_cap_for(params, nlp),
     )
     w_big = jnp.asarray(params.elastic_weight, dtype)
     is_linear_row = jnp.arange(m) < n_lin

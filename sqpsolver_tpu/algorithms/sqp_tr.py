@@ -57,6 +57,7 @@ from .common import (
     kt_residuals_from_parts,
     lanczos_lmin_bound,
     norm_violations,
+    schur_cap_for,
 )
 
 Array = jax.Array
@@ -185,11 +186,26 @@ def make_solver(
     # on barrier-ill-conditioned KKT systems — ample for the 1e-6/1e-4
     # ACOPF tolerance regime; use direct float64 for 1e-8-grade solves
     qp_tol_eff = max(params.qp_tol, 30.0 * float(jnp.finfo(dtype).eps))
-    if params.kkt_precision.startswith("mixed") or params.kkt_structured:
+    polish = (
+        params.kkt_precision == "mixed_polish"
+        and not params.kkt_structured
+        and dtype == jnp.float64
+    )
+    if (
+        params.kkt_precision.startswith("mixed") or params.kkt_structured
+    ) and not polish:
         # float32-factorized KKT (mixed modes and the always-f32 BBD
         # structured backend) bottoms out around 1e-6 on barrier-ill-
-        # conditioned systems
+        # conditioned systems.  "mixed_polish" lifts the floor instead: the
+        # IPM continues past it with direct f64 factorizations (only the
+        # last ~2-4 iterations pay f64-emulation cost; qp_ipm.py
+        # IpmOptions.polish_iters)
         qp_tol_eff = max(qp_tol_eff, 2.0e-6)
+    # bounded Schur set for the dense f32-factorized fast path
+    # (Parameters.schur_cap / IpmOptions.schur_cap): cap S at the static
+    # equality count plus headroom for active inequalities; overflow rows
+    # fold into K via the bounded 1/E the BBD backend already uses.
+    schur_cap = schur_cap_for(params, nlp)
     ipm_opts = IpmOptions(
         max_iter=params.qp_max_iter,
         tol=qp_tol_eff,
@@ -205,8 +221,17 @@ def make_solver(
         kkt_backend=params.kkt_backend,
         plane=params.kkt_precision == "mixed_plane",
         # structured backend: bounded condensation of the folded active
-        # inequality rows (its Schur set is static — equalities only)
-        invE_floor=1.0e-8 if params.kkt_structured else 0.0,
+        # inequality rows (its Schur set is static — equalities only).
+        # 3e-7 is measured, not arbitrary: 1e-8 lets the folded 1/E reach
+        # 1e8, past the f32-factor refinement convergence range (cond *
+        # eps_f32 < 1), and the BBD dual residual stalls at ~3e-2 on real
+        # case30; 1e-5 over-softens active rows and the primal residual
+        # cannot close.  1e-7..1e-6 both converge in ~14 IPM iters.
+        invE_floor=(
+            3.0e-7 if (params.kkt_structured or schur_cap) else 0.0
+        ),
+        polish_iters=20 if polish else 0,
+        schur_cap=schur_cap,
     )
     w_big = jnp.asarray(params.elastic_weight, dtype)
     # row index helper: linear rows lead (canonical ordering, SURVEY §3.2)

@@ -196,3 +196,62 @@ def synthetic_case(nb: int, seed: int = 0, name: str | None = None) -> PowerCase
         br_rate=np.maximum(2.0 * total_load / np.sqrt(nl), 1.0) * np.ones(nl),
     )
     return case
+
+
+def replicate_case(
+    case: PowerCase, k: int, tie_x: float = 0.25, name: str | None = None
+) -> PowerCase:
+    """``k`` interconnected copies of a validated real network.
+
+    Real MATPOWER data above 30 buses cannot be vendored in this offline
+    environment (zero egress; the reference itself vendors only case3,
+    ``/root/reference/examples/acopf/case3.m``), so large *real-physics*
+    regression cases are built by replication: each copy keeps the original's
+    exact impedances/limits/costs, copies are chained by one weak tie line
+    (reactance ``tie_x``, no rating) between copy i's reference bus and copy
+    i+1's highest-numbered bus.  With identical copies and symmetric costs
+    the optimum stays close to ``k *`` the single-case optimum (ties carry
+    ~zero flow at the optimum) — and tests verify the optimum independently
+    against scipy SLSQP on the full replicated network
+    (tests/test_acopf.py).
+    """
+    nb, ng, nl = case.nb, case.ng, case.nl
+
+    def tile(a, n=nb):
+        return np.concatenate([a for _ in range(k)])
+
+    def tile_idx(a, n=nb):
+        return np.concatenate([a + i * n for i in range(k)])
+
+    tie_f = np.array([case.ref_bus + i * nb for i in range(k - 1)])
+    tie_t = np.array([(nb - 1) + (i + 1) * nb for i in range(k - 1)])
+    nt = k - 1
+    return PowerCase(
+        name=name or f"{case.name}x{k}",
+        baseMVA=case.baseMVA,
+        bus_pd=tile(case.bus_pd),
+        bus_qd=tile(case.bus_qd),
+        bus_gs=tile(case.bus_gs),
+        bus_bs=tile(case.bus_bs),
+        bus_vmin=tile(case.bus_vmin),
+        bus_vmax=tile(case.bus_vmax),
+        ref_bus=case.ref_bus,
+        gen_bus=tile_idx(case.gen_bus),
+        gen_pmin=tile(case.gen_pmin),
+        gen_pmax=tile(case.gen_pmax),
+        gen_qmin=tile(case.gen_qmin),
+        gen_qmax=tile(case.gen_qmax),
+        cost_c2=tile(case.cost_c2),
+        cost_c1=tile(case.cost_c1),
+        cost_c0=tile(case.cost_c0),
+        br_f=np.concatenate([tile_idx(case.br_f), tie_f]),
+        br_t=np.concatenate([tile_idx(case.br_t), tie_t]),
+        br_r=np.concatenate([tile(case.br_r), np.full(nt, 0.02)]),
+        br_x=np.concatenate([tile(case.br_x), np.full(nt, tie_x)]),
+        br_b=np.concatenate([tile(case.br_b), np.zeros(nt)]),
+        br_tap=np.concatenate([tile(case.br_tap), np.ones(nt)]),
+        br_shift=np.concatenate([tile(case.br_shift), np.zeros(nt)]),
+        br_rate=np.concatenate(
+            [tile(case.br_rate), np.zeros(nt)]  # ties unrated
+        ),
+    )

@@ -45,6 +45,9 @@ class Factorization(NamedTuple):
     matrix: Array  # regularized matrix in compute dtype (for refinement)
     delta: Array  # regularization actually applied (scalar)
     ok: Array  # bool: factorization succeeded within the ladder
+    #: Jacobi equilibration vector d (chol factors d M d, unit diagonal);
+    #: None = unscaled.  Solves and refinement go through the scaling.
+    scale: Array | None = None
 
 
 def _chol_ok(L: Array) -> Array:
@@ -92,6 +95,7 @@ def factorize_spd(
     factor_dtype=None,
     backend: str = "xla",
     min_pivot: float = 0.0,
+    equilibrate: bool = False,
 ) -> Factorization:
     """Cholesky-factorize ``M + delta I`` with escalating ``delta``.
 
@@ -114,14 +118,36 @@ def factorize_spd(
     two are within ~10%% of each other (XLA's batched cholesky is already
     near its practical bound); "pallas" exists as the tunable alternative,
     "xla" stays the default.
+
+    ``equilibrate=True`` factors the Jacobi-scaled  Ms = d M d  (unit
+    diagonal, d = 1/sqrt(|diag M|)) instead of M.  A barrier KKT matrix's
+    ill-conditioning lives mostly in its diagonal (entries spanning ~1/mu);
+    the symmetric unit-diagonal scaling cuts the condition number the f32
+    factor sees by orders of magnitude — without it, f32-factorized cold
+    starts on heavily infeasible instances sit on a rounding knife-edge
+    (observed: the same case30 first QP succeeds or fails with the XLA:CPU
+    thread count).  The regularization then acts RELATIVELY
+    (``M + delta diag|M|``), which is also scale-free.  Pass ``min_pivot``
+    ~1e-3 with it for f32 factors.
     """
     n = M.shape[-1]
     dtype = M.dtype
     fdtype = factor_dtype or dtype
     eye = jnp.eye(n, dtype=dtype)
-    # floor for the first nonzero delta, scaled to the matrix
+
+    scale = None
+    reg_diag = eye
+    if equilibrate:
+        dvec = jnp.maximum(jnp.abs(jnp.diagonal(M)), 1e-30)
+        scale = lax.rsqrt(dvec)
+        M_eff = M * scale[:, None] * scale[None, :]
+        reg_diag = jnp.diag(dvec)  # delta on Ms == delta*diag|M| on M
+    else:
+        M_eff = M
+
+    # floor for the first nonzero delta, scaled to the (effective) matrix
     diag_scale = jnp.maximum(
-        jnp.max(jnp.abs(jnp.diagonal(M)), initial=0.0), 1.0
+        jnp.max(jnp.abs(jnp.diagonal(M_eff)), initial=0.0), 1.0
     )
     delta_floor = diag_scale * jnp.asarray(1e-12, dtype)
 
@@ -135,7 +161,7 @@ def factorize_spd(
             return jnp.linalg.cholesky(A)
 
     def attempt(delta):
-        L = _chol((M + delta * eye).astype(fdtype))
+        L = _chol((M_eff + delta * eye).astype(fdtype))
         ok = _chol_ok(L)
         if min_pivot > 0.0:
             piv = jnp.min(jnp.diagonal(L, axis1=-2, axis2=-1), initial=jnp.inf)
@@ -155,7 +181,9 @@ def factorize_spd(
         return (new_delta, L, ok, tries + 1)
 
     delta, L, ok, _ = lax.while_loop(cond, body, (delta0, L0, ok0, jnp.array(0)))
-    return Factorization(chol=L, matrix=M + delta * eye, delta=delta, ok=ok)
+    return Factorization(
+        chol=L, matrix=M + delta * reg_diag, delta=delta, ok=ok, scale=scale
+    )
 
 
 def tri_inv(L: Array) -> Array:
@@ -180,22 +208,34 @@ def _cho_solve(L: Array, b: Array) -> Array:
     )
 
 
+def _apply_inverse(fact: Factorization, b: Array) -> Array:
+    """(M + delta R)^-1 b through the factor, honoring the equilibration:
+    the factor holds chol(d M d + delta I), so M^-1 b = d Ls^-T Ls^-1 (d b)."""
+    if fact.scale is None:
+        return _cho_solve(fact.chol, b)
+    d = fact.scale
+    if b.ndim == 2:
+        return d[:, None] * _cho_solve(fact.chol, d[:, None] * b)
+    return d * _cho_solve(fact.chol, d * b)
+
+
 @partial(jax.jit, static_argnames=("ir_steps",))
 def solve_factorized(fact: Factorization, b: Array, ir_steps: int = 0) -> Array:
-    """Solve ``(M + delta I) x = b`` from a prepared factorization.
+    """Solve ``(M + delta R) x = b`` from a prepared factorization
+    (R = I, or diag|M| when equilibrated — see ``factorize_spd``).
 
     With ``ir_steps > 0`` (mixed-precision mode) the triangular solves run in
     the factor dtype (float32) and each refinement sweep computes the residual
     in the compute dtype, recovering ~compute-dtype accuracy.
     """
     dtype = fact.matrix.dtype
-    x = _cho_solve(fact.chol, b).astype(dtype)
+    x = _apply_inverse(fact, b).astype(dtype)
     if fact.chol.dtype == dtype and ir_steps == 0:
         return x
     sweeps = max(ir_steps, 1) if fact.chol.dtype != dtype else ir_steps
 
     def sweep(_, x):
         r = b - fact.matrix @ x
-        return x + _cho_solve(fact.chol, r).astype(dtype)
+        return x + _apply_inverse(fact, r).astype(dtype)
 
     return lax.fori_loop(0, sweeps, sweep, x)

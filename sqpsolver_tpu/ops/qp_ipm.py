@@ -66,6 +66,11 @@ Array = jax.Array
 
 _BIG = 1e20  # stand-in for +inf inside masked arithmetic
 
+#: the mixed-precision floor: below this QP tolerance a float32-factorized
+#: KKT solve stops converging (cond(K) ~ 1/mu exceeds 1/eps_f32), and the
+#: "mixed_polish" second phase with direct factorizations takes over
+_POLISH_FLOOR = 2.0e-6
+
 
 class QpSolution(NamedTuple):
     """Solution bundle of one elastic QP solve."""
@@ -115,12 +120,34 @@ class IpmOptions:
     #: A small floor bounds the amplification at the cost of an O(floor)
     #: inexactness the IPM absorbs.  0 = exact condensation (dense default).
     invE_floor: float = 0.0
+    #: float64 polish phase (kkt_precision="mixed_polish"): run the float32-
+    #: factorized loop to the mixed-precision floor (~2e-6 — cond(K) grows
+    #: like 1/mu on the barrier path, and once it exceeds 1/eps_f32 ~ 1e7
+    #: the f32 factor stops being a contraction for iterative refinement),
+    #: then CONTINUE the same interior-point iteration with direct
+    #: compute-dtype factorizations for at most this many extra iterations
+    #: to reach the strict tolerance.  Only the last ~2-4 iterations pay
+    #: f64-emulation cost.  0 = off (single-phase).  Dense backend only.
+    polish_iters: int = 0
+    #: static cap on the Schur (stiff) set size.  The hybrid split sends
+    #: every small-E row (equalities + active constraints) through the dense
+    #: Schur complement S — an (m, m) factorization even when only a fraction
+    #: of rows are ever stiff.  With ``schur_cap = c`` in (0, m) the body
+    #: keeps only the c *stiffest* rows (smallest E — equalities sort first
+    #: by construction) on the Schur path, folds the overflow into K via the
+    #: bounded 1/max(E, invE_floor), and ``DenseOp`` gathers the survivors
+    #: into a compact (c, n) block so S is (c, c).  At ACOPF scale (m ~ 2n,
+    #: equalities ~ m/2, few active inequalities) this cuts the dominant
+    #: factorization's FLOPs ~6-8x.  Requires ``invE_floor > 0``.
+    #: 0 = uncapped (classic full hybrid).
+    schur_cap: int = 0
 
     def __hash__(self):
         return hash(
             (self.max_iter, self.tol, self.ftb, self.fixed_var_ridge,
              self.factor_dtype, self.ir_steps, self.kkt_backend, self.plane,
-             self.invert_factors, self.invE_floor, self.stall_iters)
+             self.invert_factors, self.invE_floor, self.stall_iters,
+             self.polish_iters, self.schur_cap)
         )
 
 
@@ -288,14 +315,54 @@ class DenseOp:
             return solve_block, delta64
 
         K = Q + jnp.diag(diag_k) + (A.T * invE_soft) @ A
+        # f32 factors get Jacobi equilibration + pivot probe (linsolve
+        # docstring: without it, cold-start barrier systems sit on a
+        # rounding knife-edge); f64 factors stay untouched.
+        mixed = self.fdtype != dtype
         fact_K = factorize_spd(
-            K, delta0, factor_dtype=self.fdtype, backend=opts.kkt_backend
+            K, delta0, factor_dtype=self.fdtype, backend=opts.kkt_backend,
+            equilibrate=mixed, min_pivot=1e-3 if mixed else 0.0,
         )
+        m = A.shape[0]
+        cap = opts.schur_cap
+        if 0 < cap < m:
+            # bounded Schur set (IpmOptions.schur_cap): the body capped
+            # ``stiff`` to at most ``cap`` rows — gather them into a compact
+            # (cap, n) block so S is (cap, cap) instead of (m, m).  Unused
+            # slots carry a zero A-row and unit diagonal; their dy is zero
+            # because the rhs is stiff-masked.
+            idx = jnp.argsort(~stiff, stable=True)[:cap]
+            sel = stiff[idx]
+            A_sel = jnp.where(sel[:, None], A[idx], 0.0)
+            E_sel = jnp.where(sel, E_stiff[idx], 1.0)
+            KiAt = solve_factorized(fact_K, A_sel.T, ir_steps=self.ir_steps)
+            S = A_sel @ KiAt + jnp.diag(E_sel)
+            fact_S = factorize_spd(
+                S, jnp.zeros((), dtype), factor_dtype=self.fdtype,
+                backend=opts.kkt_backend,
+                equilibrate=mixed, min_pivot=1e-3 if mixed else 0.0,
+            )
+
+            def solve_block(r1_t, r2_t):
+                t1 = solve_factorized(fact_K, r1_t, ir_steps=self.ir_steps)
+                b_t = A_sel @ t1 - jnp.where(sel, r2_t[idx], 0.0)
+                dy_sel = solve_factorized(fact_S, b_t, ir_steps=self.ir_steps)
+                dp = t1 - KiAt @ dy_sel
+                dy_t = (
+                    jnp.zeros((m,), dtype)
+                    .at[idx]
+                    .add(jnp.where(sel, dy_sel, 0.0))
+                )
+                return dp, dy_t
+
+            return solve_block, fact_K.delta
+
         KiAt = solve_factorized(fact_K, A_stiff.T, ir_steps=self.ir_steps)
         S = A_stiff @ KiAt + jnp.diag(E_stiff)
         fact_S = factorize_spd(
             S, jnp.zeros((), dtype), factor_dtype=self.fdtype,
             backend=opts.kkt_backend,
+            equilibrate=mixed, min_pivot=1e-3 if mixed else 0.0,
         )
 
         def solve_block(r1_t, r2_t):
@@ -537,10 +604,31 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         )
         return pri, dual
 
+    # phase configuration read at trace time: the float64 polish phase
+    # re-traces cond/body with a direct-factorization operator and the
+    # strict tolerance (see IpmOptions.polish_iters)
+    do_polish = (
+        opts.polish_iters > 0
+        and Q is not None
+        and opts.factor_dtype == "float32"
+        and dtype == jnp.float64
+        and opts.tol < _POLISH_FLOOR
+    )
+    loop_cfg = dict(
+        op=op,
+        tol=jnp.asarray(
+            max(opts.tol, _POLISH_FLOOR) if do_polish else opts.tol, dtype
+        ),
+        max_iter=opts.max_iter,
+        # Schur-set cap (IpmOptions.schur_cap); the f64 polish phase lifts
+        # it (cap=0) so nothing blocks strict-tolerance dual accuracy
+        cap=opts.schur_cap,
+    )
+
     def cond_fn(st):
         return jnp.logical_and(
             jnp.logical_and(~st["converged"], ~st["failed"]),
-            st["iters"] < opts.max_iter,
+            st["iters"] < loop_cfg["max_iter"],
         )
 
     def body_fn(st):
@@ -578,6 +666,18 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         # rows outside the operator's static stiff set (structured backend:
         # non-equality rows) fold into K regardless of E
         stiff = jnp.logical_and(~soft, allowed)
+        if 0 < loop_cfg["cap"] < m:
+            # bounded Schur set: keep the schur_cap stiffest rows (smallest
+            # E — equalities first by construction), fold the overflow into
+            # K via the bounded 1/max(E, invE_floor) like any soft row.  The
+            # rank is computed by double-argsort (O(m log m), trivial next
+            # to the factorizations); ties break by row index, so the
+            # selection is deterministic and matches DenseOp's gather.
+            key = jnp.where(stiff, E, _BIG)
+            rank = jnp.zeros((m,), jnp.int32).at[
+                jnp.argsort(key, stable=True)
+            ].set(jnp.arange(m, dtype=jnp.int32))
+            stiff = jnp.logical_and(stiff, rank < loop_cfg["cap"])
         elim = jnp.logical_and(~stiff, ~freerow)  # fold into K via 1/E
         invE_soft = jnp.where(
             elim, 1.0 / jnp.maximum(E, opts.invE_floor), 0.0
@@ -589,7 +689,7 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         # factorization in float32 on the MXU with compute-dtype block-level
         # refinement.  BbdOperator: bordered-block-diagonal K + dense
         # equality Schur complement for structured large instances.
-        solve_block, fact_delta = op.prepare(
+        solve_block, fact_delta = loop_cfg["op"].prepare(
             ridge_vec + Dp, invE_soft, stiff, E_stiff, st["delta"]
         )
 
@@ -765,8 +865,9 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         obj_scale = 1.0 + jnp.abs(primal_objective(new["p"], new["u"], new["v"]))
         gap = mu_total * n_pairs / obj_scale
         new["pri_res"], new["dual_res"], new["gap"] = pri, dual, gap
+        ltol = loop_cfg["tol"]
         new["converged"] = jnp.logical_and(
-            pri < opts.tol, jnp.logical_and(dual < opts.tol, gap < opts.tol)
+            pri < ltol, jnp.logical_and(dual < ltol, gap < ltol)
         )
 
         # best-iterate bookkeeping + divergence/stall cutoffs
@@ -778,7 +879,7 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         # regime demand a 10%-per-iteration improvement: the last decade
         # above the mixed-precision floor otherwise consumes most of
         # max_iter at max-over-lanes cost under vmap.
-        usable = st["best"]["err"] < jnp.sqrt(jnp.asarray(opts.tol, dtype))
+        usable = st["best"]["err"] < jnp.sqrt(loop_cfg["tol"])
         improved10 = err < 0.9 * st["best"]["err"]
         new["since_improve"] = jnp.where(
             jnp.logical_and(usable, ~improved10),
@@ -806,7 +907,9 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         # precision floor (iterates wander once the Newton systems go
         # noise-dominated) does not abort a solve whose best iterate is
         # already usable — the best-iterate snapshot is what gets returned
-        diverging = err > 1.0e4 * jnp.maximum(new["best"]["err"], opts.tol)
+        diverging = err > 1.0e4 * jnp.maximum(
+            new["best"]["err"], loop_cfg["tol"]
+        )
         new["failed"] = jnp.logical_or(new["failed"], diverging)
 
         # numerical-breakdown backstop: if anything went non-finite, revert to
@@ -830,6 +933,36 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         return out
 
     st = lax.while_loop(cond_fn, body_fn, state0)
+
+    if do_polish:
+        # continue the SAME interior-point iteration with direct f64
+        # factorizations to the strict tolerance.  Lanes already strictly
+        # converged (and skipped lanes) take zero trips.
+        loop_cfg["op"] = DenseOp(
+            Q, A,
+            dataclasses.replace(
+                opts, factor_dtype="same", plane=False, schur_cap=0
+            ),
+            dtype,
+        )
+        loop_cfg["tol"] = jnp.asarray(opts.tol, dtype)
+        loop_cfg["max_iter"] = opts.max_iter + opts.polish_iters
+        loop_cfg["cap"] = 0
+        tol_s = jnp.asarray(opts.tol, dtype)
+        strict = jnp.logical_and(
+            st["pri_res"] < tol_s,
+            jnp.logical_and(st["dual_res"] < tol_s, st["gap"] < tol_s),
+        )
+        skiparr = (
+            jnp.array(False) if skip is None else jnp.asarray(skip, bool)
+        )
+        st = dict(
+            st,
+            converged=jnp.logical_or(strict, skiparr),
+            failed=jnp.array(False),
+            since_improve=jnp.array(0, jnp.int32),
+        )
+        st = lax.while_loop(cond_fn, body_fn, st)
 
     # return the best iterate seen (identical to the final one in the normal
     # well-conditioned case)

@@ -72,7 +72,12 @@ class Parameters:
     dtype: str = "float64"
     #: KKT linear-solve policy: "direct" (Cholesky in compute dtype),
     #: "mixed_ir" (float32 factorizations, per-solve refinement in the
-    #: compute dtype — the measured-fastest TPU mode), or "mixed_plane"
+    #: compute dtype — the measured-fastest TPU mode; QP tolerance floors
+    #: at ~2e-6 because cond(K) ~ 1/mu outruns 1/eps_f32 on the barrier
+    #: path), "mixed_polish" (mixed_ir to the floor, then the interior-point
+    #: loop CONTINUES with direct float64 factorizations to the strict
+    #: tolerance — reference-default 1e-8 regimes at near-mixed_ir cost,
+    #: only the last ~2-4 iterations pay f64 emulation), or "mixed_plane"
     #: (every matmul/factorization in float32, block-level refinement;
     #: experimental — currently slower due to the 6-pass true-f32 matmul)
     kkt_precision: str = "direct"
@@ -97,6 +102,17 @@ class Parameters:
     #: number of interior blocks for the structured path (0 = auto: ~128
     #: variables per block)
     kkt_parts: int = 0
+    #: cap on the QP Schur (stiff) set size for the dense mixed-precision
+    #: path (ops/qp_ipm.py IpmOptions.schur_cap).  The hybrid IPM solves
+    #: every small-E row (equalities + active constraints) through a dense
+    #: Schur complement S; uncapped, S is (m, m) even though typically only
+    #: equalities + a few active rows are stiff — at ACOPF scale the (m, m)
+    #: factorization dominates the whole solve.  -1 = auto (equality count +
+    #: headroom, enabled when it shrinks S meaningfully; f32-factorized
+    #: dense paths only), 0 = never cap, >0 = explicit cap.  Overflow rows
+    #: fold into K with a bounded 1/E (IpmOptions.invE_floor), exactly the
+    #: structured (BBD) backend's bounded-condensation rule.
+    schur_cap: int = -1
     #: indefinite-Hessian convexification bound: "eigh" (exact smallest
     #: eigenvalue; compiles a large QR-iteration program), "power" (shifted
     #: power iteration, ~40 matvecs, near-exact — the TPU-friendly choice),

@@ -158,3 +158,41 @@ def test_structured_requires_structure():
         sqp.make_solver(
             toy_nlp(), sqp.Parameters(kkt_structured=True, OutputFlag=0)
         )
+
+
+def test_structured_case30x10_300bus():
+    """Real-physics 300-bus solve through the BBD structured path — the
+    capability scale of the reference's ma57-backed sparse KKT
+    (examples/acopf/opf.jl:102 runs case2869; case300 is the BASELINE.md
+    milestone).  Data: 10 interconnected copies of the validated case30
+    (power.replicate_case; tie-coupling rationale and the independently
+    verified 4-copy optimum in tests/test_acopf.py)."""
+    from sqpsolver_tpu.models.matpower import load_case
+    from sqpsolver_tpu.models.power import replicate_case
+
+    case = replicate_case(load_case("case30"), 10)
+    assert case.nb == 300
+    nlp = acopf_polar(case, scenario_batchable=False)
+    params = sqp.Parameters(
+        max_iter=200, OutputFlag=0, tol_infeas=1e-6, tol_residual=1e-4,
+        use_soc=True,
+    )
+    # presolve warm start, exactly the reference's own large-case workflow
+    # (examples/acopf/init_opf.jl: Ipopt presolve -> SQP): at 300-bus scale
+    # the bound-midpoint cold start is ~56 units infeasible and the first
+    # elastic QP is beyond what ANY f32-factorized backend can solve (dense
+    # mixed_ir fails it identically — this is an f32 limitation, not a BBD
+    # one; direct f64 handles it).
+    from sqpsolver_tpu.utils.warmstart import presolve_start
+
+    warm = presolve_start(nlp, params)
+    solver = sqp.make_solver(nlp, params.replace(kkt_structured=True))
+    from sqpsolver_tpu import results as _results
+
+    res = _results.from_raw(solver(warm), 0.0)
+    assert res.success, res.status_name
+    assert res.prim_infeas < 1e-6
+    # upper-bound certificate: replicating the case30 optimum is feasible
+    assert float(res.obj_val) <= 10.0 * 576.89 * (1 + 1e-3)
+    # ...and inter-copy reactive support cannot buy more than ~2%
+    assert float(res.obj_val) >= 10.0 * 576.89 * 0.98
