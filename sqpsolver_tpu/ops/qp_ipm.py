@@ -244,9 +244,41 @@ class DenseOp:
                     return dK * solve_Ks(dK * b)
                 return dK[:, None] * solve_Ks(dK[:, None] * b)
 
-            A_st32 = jnp.where(stiff[:, None], self.A32, 0.0)
+            m_rows = A.shape[0]
+            cap = opts.schur_cap
+            if 0 < cap < m_rows:
+                # bounded Schur set (IpmOptions.schur_cap): gather the capped
+                # stiff rows into a compact (cap, n) block — S becomes
+                # (cap, cap) instead of (m, m); overflow rows were already
+                # folded into K by the IPM body.  Unused slots carry a zero
+                # A-row and unit diagonal (dy stays 0 there: stiff-masked rhs).
+                idx = jnp.argsort(~stiff, stable=True)[:cap]
+                sel = stiff[idx]
+                A_st32 = jnp.where(sel[:, None], self.A32[idx], 0.0)
+                E_s32 = jnp.where(sel, E_stiff[idx], 1.0).astype(f32)
+
+                def r2_pick(r2):
+                    return jnp.where(sel, r2[idx], 0.0)
+
+                def dy_unpick(dy):
+                    return (
+                        jnp.zeros((m_rows,), dy.dtype)
+                        .at[idx]
+                        .add(jnp.where(sel, dy, 0.0))
+                    )
+
+            else:
+                A_st32 = jnp.where(stiff[:, None], self.A32, 0.0)
+                E_s32 = E_stiff.astype(f32)
+
+                def r2_pick(r2):
+                    return r2
+
+                def dy_unpick(dy):
+                    return dy
+
             KiAt32 = solve_K32(A_st32.T)
-            S32 = A_st32 @ KiAt32 + jnp.diag(E_stiff.astype(f32))
+            S32 = A_st32 @ KiAt32 + jnp.diag(E_s32)
             dS = jax.lax.rsqrt(
                 jnp.maximum(jnp.abs(jnp.diagonal(S32)), 1e-30)
             )
@@ -288,10 +320,10 @@ class DenseOp:
 
             def approx_block(r1_t, r2_t):
                 t1 = solve_K32(r1_t.astype(f32))
-                b = A_st32 @ t1 - r2_t.astype(f32)
+                b = A_st32 @ t1 - r2_pick(r2_t).astype(f32)
                 dy = solve_S32(b)
                 dp = t1 - KiAt32 @ dy
-                return dp.astype(dtype), dy.astype(dtype)
+                return dp.astype(dtype), dy_unpick(dy).astype(dtype)
 
             def solve_block(r1_t, r2_t):
                 """Solve [K+dI, A_t'; A_t, -E_t] (dp; dy_t) = (r1_t; r2_t)

@@ -119,3 +119,23 @@ def test_acopf_case30_capped_matches_direct():
     np.testing.assert_allclose(
         float(r_capped.obj_val), float(r_direct.obj_val), rtol=1e-5
     )
+
+
+def test_acopf_case30_plane_capped():
+    """mixed_plane (the TPU bench fast path) through the compact Schur
+    gather: solves real case30 from cold start (uncapped plane fails this
+    first QP — the cap's smaller, better-conditioned S is what rescues it)
+    and lands on the direct optimum."""
+    from sqpsolver_tpu.models.matpower import load_case
+
+    nlp = acopf_polar(load_case("case30"), scenario_batchable=False)
+    res = sqp.optimize(
+        nlp,
+        sqp.Parameters(
+            kkt_precision="mixed_plane", hessian_shift="power",
+            max_iter=100, OutputFlag=0, tol_infeas=1e-6, tol_residual=1e-4,
+            use_soc=True,
+        ),
+    )
+    assert res.success, res.status_name
+    np.testing.assert_allclose(float(res.obj_val), 576.977, rtol=1e-3)
