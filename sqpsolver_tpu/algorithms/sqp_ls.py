@@ -108,8 +108,12 @@ def make_ls_solver(
             "float32" if params.kkt_precision.startswith("mixed") else "same"
         ),
         ir_steps=(
+            # capped Schur set => harder K systems => >= 4 sweeps (see sqp_tr)
             max(4, params.kkt_ir_steps)
-            if params.kkt_precision == "mixed_plane"
+            if (
+                params.kkt_precision == "mixed_plane"
+                or schur_cap_for(params, nlp)
+            )
             else params.kkt_ir_steps
         ),
         kkt_backend=params.kkt_backend,

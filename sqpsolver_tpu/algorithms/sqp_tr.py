@@ -214,9 +214,17 @@ def make_solver(
             "float32" if params.kkt_precision.startswith("mixed") else "same"
         ),
         ir_steps=(
-            max(2, params.kkt_ir_steps)
-            if params.kkt_precision == "mixed_plane"
-            else params.kkt_ir_steps
+            # the bounded Schur set folds active inequality rows into K with
+            # a large (bounded) 1/E — harder systems; four sweeps keep the
+            # f32 solve usable through barrier-tight iterates (the BBD
+            # backend applies the same rule, kkt_bbd.py BbdOperator.__init__)
+            max(4, params.kkt_ir_steps)
+            if schur_cap
+            else (
+                max(2, params.kkt_ir_steps)
+                if params.kkt_precision == "mixed_plane"
+                else params.kkt_ir_steps
+            )
         ),
         kkt_backend=params.kkt_backend,
         plane=params.kkt_precision == "mixed_plane",

@@ -33,6 +33,16 @@ def _start_point(case: PowerCase, nv: int):
     return pg0, qg0
 
 
+def _require_plain(case: PowerCase, who: str):
+    """PWL-cost / HVDC extensions are wired into the flagship polar
+    formulation only; the other formulations reject such cases loudly."""
+    if case.n_pwl_gen or case.ndc:
+        raise NotImplementedError(
+            f"{who} does not support piecewise-linear costs or dclines; "
+            "use acopf_polar for such cases"
+        )
+
+
 def _objective(case: PowerCase):
     base = case.baseMVA
     c2 = jnp.asarray(case.cost_c2)
@@ -52,11 +62,16 @@ def _objective(case: PowerCase):
 def acopf_polar(case: PowerCase, scenario_batchable: bool = True) -> NLP:
     """Polar (ACP) formulation.
 
-    Variables  x = [va (nb), vm (nb), pg (ng), qg (ng)].
-    Rows (linear first): ref-bus angle; P balance (nb); Q balance (nb);
-    from/to thermal limits (2*nl).
+    Variables  x = [va (nb), vm (nb), pg (ng), qg (ng)], plus, when the case
+    carries them, piecewise-linear cost epigraph variables t (one per PWL
+    generator) and HVDC line variables [pf, qf, qt] (the receiving-end
+    active power is dependent: pt = (1-loss1)*pf - loss0, so no coupling row
+    is needed — MATPOWER dcline semantics).
+    Rows (linear first): ref-bus angle; PWL epigraph segments
+    (t_g >= slope*Pg_MW + icpt); P balance (nb); Q balance (nb); from/to
+    thermal limits (2*nl).
     """
-    nb, ng, nl = case.nb, case.ng, case.nl
+    nb, ng, nl, ndc = case.nb, case.ng, case.nl, case.ndc
     (gff, bff, gft, bft, gtf, btf, gtt, btt) = case.admittances()
     gff, bff, gft, bft, gtf, btf, gtt, btt = (
         jnp.asarray(a) for a in (gff, bff, gft, bft, gtf, btf, gtt, btt)
@@ -67,7 +82,24 @@ def acopf_polar(case: PowerCase, scenario_batchable: bool = True) -> NLP:
     bs = jnp.asarray(case.bus_bs)
     gen_bus = jnp.asarray(case.gen_bus)
     cost = _objective(case)
-    n = 2 * nb + 2 * ng
+
+    # PWL epigraph bookkeeping: one t variable per PWL generator, one linear
+    # row per segment
+    n_pwl = case.n_pwl_gen
+    nseg = 0 if case.pwl_gen is None else len(case.pwl_gen)
+    if n_pwl:
+        pwl_gens = np.unique(case.pwl_gen)  # (n_pwl,) generator indices
+        gen2t = {int(gi): k for k, gi in enumerate(pwl_gens)}
+        seg_t = jnp.asarray([gen2t[int(gi)] for gi in case.pwl_gen])
+        seg_gen = jnp.asarray(case.pwl_gen)
+        seg_slope = jnp.asarray(case.pwl_slope)
+    n = 2 * nb + 2 * ng + n_pwl + 3 * ndc
+
+    if ndc:
+        dcf_idx = jnp.asarray(case.dc_f)
+        dct_idx = jnp.asarray(case.dc_t)
+        loss0 = jnp.asarray(case.dc_loss0)
+        loss1 = jnp.asarray(case.dc_loss1)
 
     has_rate = np.isfinite(case.br_rate) & (case.br_rate > 0)
     rate2 = np.where(has_rate, case.br_rate**2, 1.0e4)
@@ -76,8 +108,18 @@ def acopf_polar(case: PowerCase, scenario_batchable: bool = True) -> NLP:
         va = x[:nb]
         vm = x[nb : 2 * nb]
         pg = x[2 * nb : 2 * nb + ng]
-        qg = x[2 * nb + ng :]
+        qg = x[2 * nb + ng : 2 * nb + 2 * ng]
         return va, vm, pg, qg
+
+    o_extra = 2 * nb + 2 * ng
+
+    def split_extra(x):
+        """(t, dc_pf, dc_qf, dc_qt) — the optional tail variables."""
+        t = x[o_extra : o_extra + n_pwl]
+        pf = x[o_extra + n_pwl : o_extra + n_pwl + ndc]
+        qf = x[o_extra + n_pwl + ndc : o_extra + n_pwl + 2 * ndc]
+        qt = x[o_extra + n_pwl + 2 * ndc :]
+        return t, pf, qf, qt
 
     def flows(va, vm):
         dt = vm.dtype
@@ -98,7 +140,11 @@ def acopf_polar(case: PowerCase, scenario_batchable: bool = True) -> NLP:
 
     def f(x, theta=None):
         _, _, pg, _ = split(x)
-        return cost(pg)
+        val = cost(pg)
+        if n_pwl:
+            t, _, _, _ = split_extra(x)
+            val = val + jnp.sum(t)
+        return val
 
     def g(x, theta=None):
         va, vm, pg, qg = split(x)
@@ -129,17 +175,38 @@ def acopf_polar(case: PowerCase, scenario_batchable: bool = True) -> NLP:
             - jnp.zeros(nb, x.dtype).at[f_idx].add(q_f)
             - jnp.zeros(nb, x.dtype).at[t_idx].add(q_t)
         )
+        rows_lin = [x[case.ref_bus][None]]
+        if n_pwl:
+            t, _, _, _ = split_extra(x)
+            base = jnp.asarray(case.baseMVA, dt)
+            rows_lin.append(
+                t[seg_t] - seg_slope.astype(dt) * base * pg[seg_gen]
+            )
+        if ndc:
+            _, dpf, dqf, dqt = split_extra(x)
+            dpt = (1.0 - loss1.astype(dt)) * dpf - loss0.astype(dt)
+            p_inj = (
+                p_inj.at[dcf_idx].add(-dpf).at[dct_idx].add(dpt)
+            )
+            q_inj = q_inj.at[dcf_idx].add(dqf).at[dct_idx].add(dqt)
         s_from = p_f * p_f + q_f * q_f
         s_to = p_t * p_t + q_t * q_t
         return jnp.concatenate(
-            [x[case.ref_bus][None], p_inj, q_inj, s_from, s_to]
+            rows_lin + [p_inj, q_inj, s_from, s_to]
         )
 
-    m = 1 + 2 * nb + 2 * nl
+    m = 1 + nseg + 2 * nb + 2 * nl
     g_l = np.concatenate(
-        [np.zeros(1), np.zeros(2 * nb), np.full(2 * nl, -INF)]
+        [
+            np.zeros(1),
+            np.asarray(case.pwl_icpt) if nseg else np.zeros(0),
+            np.zeros(2 * nb),
+            np.full(2 * nl, -INF),
+        ]
     )
-    g_u = np.concatenate([np.zeros(1), np.zeros(2 * nb), rate2, rate2])
+    g_u = np.concatenate(
+        [np.zeros(1), np.full(nseg, INF), np.zeros(2 * nb), rate2, rate2]
+    )
 
     pg0, qg0 = _start_point(case, n)
     x0 = np.concatenate([np.zeros(nb), np.ones(nb), pg0, qg0])
@@ -149,6 +216,33 @@ def acopf_polar(case: PowerCase, scenario_batchable: bool = True) -> NLP:
     x_u = np.concatenate(
         [np.full(nb, INF), case.bus_vmax, case.gen_pmax, case.gen_qmax]
     )
+    if n_pwl:
+        # start each epigraph variable on its PWL curve at pg0 (feasible)
+        mw0 = pg0[pwl_gens] * case.baseMVA
+        t0 = np.full(n_pwl, -np.inf)
+        for s in range(nseg):
+            k = int(np.searchsorted(pwl_gens, case.pwl_gen[s]))
+            t0[k] = max(
+                t0[k], case.pwl_slope[s] * mw0[k] + case.pwl_icpt[s]
+            )
+        x0 = np.concatenate([x0, t0])
+        x_l = np.concatenate([x_l, np.full(n_pwl, -INF)])
+        x_u = np.concatenate([x_u, np.full(n_pwl, INF)])
+    if ndc:
+        x0 = np.concatenate(
+            [
+                x0,
+                0.5 * (case.dc_pmin + case.dc_pmax),
+                0.5 * (case.dc_qminf + case.dc_qmaxf),
+                0.5 * (case.dc_qmint + case.dc_qmaxt),
+            ]
+        )
+        x_l = np.concatenate(
+            [x_l, case.dc_pmin, case.dc_qminf, case.dc_qmint]
+        )
+        x_u = np.concatenate(
+            [x_u, case.dc_pmax, case.dc_qmaxf, case.dc_qmaxt]
+        )
 
     theta = (
         {"pd": np.asarray(case.bus_pd), "qd": np.asarray(case.bus_qd)}
@@ -170,10 +264,14 @@ def acopf_polar(case: PowerCase, scenario_batchable: bool = True) -> NLP:
         g_l=g_l,
         g_u=g_u,
         x0=x0,
-        num_linear=1,
+        num_linear=1 + nseg,
         theta=theta,
         name=f"acopf_acp_{case.name}",
-        structure=acopf_polar_structure(case),
+        # the BBD structure map covers the plain [va,vm,pg,qg] layout; cases
+        # with PWL epigraph / HVDC tail variables use the dense path
+        structure=(
+            None if (n_pwl or ndc) else acopf_polar_structure(case)
+        ),
     )
 
 
@@ -185,6 +283,7 @@ def acopf_rect(case: PowerCase, scenario_batchable: bool = True) -> NLP:
     bounds become nonlinear rows  vmin^2 <= vr^2 + vi^2 <= vmax^2
     (PowerModels constraint_voltage_magnitude semantics).
     """
+    _require_plain(case, "acopf_rect")
     nb, ng, nl = case.nb, case.ng, case.nl
     (gff, bff, gft, bft, gtf, btf, gtt, btt) = case.admittances()
     gff, bff, gft, bft, gtf, btf, gtt, btt = (
@@ -317,6 +416,7 @@ def acopf_wr(case: PowerCase, scenario_batchable: bool = True) -> NLP:
     the lifting constraints and thermal limits stay nonlinear.  Variable
     layout: x = [vr, vi (nb each), w (nb), wr, wi (npairs each), pg, qg].
     """
+    _require_plain(case, "acopf_wr")
     if np.any(case.br_tap != 1.0) or np.any(case.br_shift != 0.0):
         raise ValueError("acopf_wr supports tap=1, shift=0 branches only")
     nb, ng, nl = case.nb, case.ng, case.nl

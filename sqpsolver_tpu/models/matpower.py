@@ -5,8 +5,10 @@ Lets users load standard MATPOWER data (``case9.m``, ``case118.m``,
 covering the reference's workload entry path where PowerModels parses the same
 files (``/root/reference/test/opf.jl:6``, ``examples/acopf/opf.jl:84,102``).
 Only the matrices the OPF formulations consume are read: ``baseMVA``, ``bus``,
-``gen``, ``branch``, ``gencost`` (polynomial costs; piecewise-linear costs are
-rejected).
+``gen``, ``branch``, ``gencost`` (polynomial costs directly; convex
+piecewise-linear costs convert to max-of-affine segments that the polar OPF
+epigraphs), and the optional ``dcline`` HVDC matrix (the reference's own
+``examples/acopf/case3.m`` carries one).
 """
 
 from __future__ import annotations
@@ -108,16 +110,40 @@ def parse_matpower(path: str, name: str | None = None) -> PowerCase:
     on = gen[:, 7] > 0 if gen.shape[1] > 7 else np.ones(len(gen), bool)
     gen = gen[on]
     gencost = gencost[on]
-    if np.any(gencost[:, _COST_MODEL] != 2):
-        raise ValueError("only polynomial (model 2) generator costs supported")
+    if np.any(~np.isin(gencost[:, _COST_MODEL], (1, 2))):
+        raise ValueError(
+            "generator cost model must be 1 (piecewise linear) or 2 "
+            "(polynomial)"
+        )
 
-    # polynomial costs: columns 4.. are c_{n-1}..c_0; normalize to <= quadratic
     ncost = gencost[:, _NCOST].astype(int)
     ngen = len(gen)
     c2 = np.zeros(ngen)
     c1 = np.zeros(ngen)
     c0 = np.zeros(ngen)
+    # piecewise-linear costs (model 1) convert to max-of-affine segments
+    # (the OPF builders epigraph them; PowerModels does the same for the
+    # reference's workload); polynomial costs normalize to <= quadratic
+    pwl_gen, pwl_slope, pwl_icpt = [], [], []
     for i in range(ngen):
+        if gencost[i, _COST_MODEL] == 1:
+            pts = gencost[i, 4 : 4 + 2 * ncost[i]]
+            xs, ys = pts[0::2], pts[1::2]  # (MW, $) breakpoints
+            if np.any(np.diff(xs) <= 0):
+                raise ValueError(
+                    "piecewise-linear cost breakpoints must be strictly "
+                    "increasing in Pg"
+                )
+            sl = np.diff(ys) / np.diff(xs)
+            if np.any(np.diff(sl) < -1e-9 * np.maximum(np.abs(sl[1:]), 1.0)):
+                raise ValueError(
+                    "piecewise-linear cost must be convex (nondecreasing "
+                    "segment slopes) for the epigraph reformulation"
+                )
+            pwl_gen.extend([i] * len(sl))
+            pwl_slope.extend(sl.tolist())
+            pwl_icpt.extend((ys[:-1] - sl * xs[:-1]).tolist())
+            continue
         coeffs = gencost[i, 4 : 4 + ncost[i]]
         # highest order first; reject cubic+ with nonzero coefficients
         extra = coeffs[:-3]
@@ -125,6 +151,31 @@ def parse_matpower(path: str, name: str | None = None) -> PowerCase:
             raise ValueError("cost polynomial of degree > 2 not supported")
         padded = np.concatenate([np.zeros(max(0, 3 - len(coeffs))), coeffs[-3:]])
         c2[i], c1[i], c0[i] = padded
+
+    # optional HVDC lines (mpc.dcline; idx_dcline.m column layout)
+    dc = {}
+    if re.search(r"mpc\.dcline\s*=\s*\[", text):
+        dcl = _extract_matrix(text, "dcline")
+        dcl = dcl[dcl[:, 2] > 0]  # BR_STATUS
+        if len(dcl):
+            dc = dict(
+                dc_f=np.array([id2idx[int(b)] for b in dcl[:, 0]]),
+                dc_t=np.array([id2idx[int(b)] for b in dcl[:, 1]]),
+                dc_pmin=dcl[:, 9] / base,
+                dc_pmax=dcl[:, 10] / base,
+                dc_qminf=dcl[:, 11] / base,
+                dc_qmaxf=dcl[:, 12] / base,
+                dc_qmint=dcl[:, 13] / base,
+                dc_qmaxt=dcl[:, 14] / base,
+                dc_loss0=(
+                    dcl[:, 15] / base
+                    if dcl.shape[1] > 15
+                    else np.zeros(len(dcl))
+                ),
+                dc_loss1=(
+                    dcl[:, 16] if dcl.shape[1] > 16 else np.zeros(len(dcl))
+                ),
+            )
 
     # in-service branches
     if branch.shape[1] > _BR_STATUS:
@@ -171,4 +222,8 @@ def parse_matpower(path: str, name: str | None = None) -> PowerCase:
         br_tap=tap,
         br_shift=shift,
         br_rate=rate,
+        pwl_gen=np.asarray(pwl_gen, int) if pwl_gen else None,
+        pwl_slope=np.asarray(pwl_slope) if pwl_gen else None,
+        pwl_icpt=np.asarray(pwl_icpt) if pwl_gen else None,
+        **dc,
     )

@@ -55,6 +55,27 @@ class PowerCase:
     br_shift: np.ndarray  # phase shift (radians)
     br_rate: np.ndarray  # thermal limit (p.u.; 0/inf = unlimited)
 
+    # -- piecewise-linear generator costs (MATPOWER gencost model 1),
+    # converted to max-of-affine segments and flattened: segment s belongs to
+    # generator pwl_gen[s] with cost >= pwl_slope[s]*Pg_MW + pwl_icpt[s].
+    # Generators carrying segments have cost_c2=c1=c0=0.  None = none.
+    pwl_gen: np.ndarray | None = None  # (nseg,) generator index
+    pwl_slope: np.ndarray | None = None  # (nseg,) $/MWh
+    pwl_icpt: np.ndarray | None = None  # (nseg,) $
+
+    # -- HVDC lines (MATPOWER mpc.dcline), per-unit.  The receiving-end
+    # power is dependent: pt = (1 - loss1)*pf - loss0.  None = none.
+    dc_f: np.ndarray | None = None  # (ndc,) from-bus index
+    dc_t: np.ndarray | None = None  # (ndc,) to-bus index
+    dc_pmin: np.ndarray | None = None  # bounds on pf
+    dc_pmax: np.ndarray | None = None
+    dc_qminf: np.ndarray | None = None  # reactive bounds at the from end
+    dc_qmaxf: np.ndarray | None = None
+    dc_qmint: np.ndarray | None = None  # ... and the to end
+    dc_qmaxt: np.ndarray | None = None
+    dc_loss0: np.ndarray | None = None  # p.u. constant loss
+    dc_loss1: np.ndarray | None = None  # marginal loss (fraction of pf)
+
     @property
     def nb(self) -> int:
         return len(self.bus_pd)
@@ -66,6 +87,16 @@ class PowerCase:
     @property
     def nl(self) -> int:
         return len(self.br_f)
+
+    @property
+    def ndc(self) -> int:
+        return 0 if self.dc_f is None else len(self.dc_f)
+
+    @property
+    def n_pwl_gen(self) -> int:
+        return (
+            0 if self.pwl_gen is None else len(np.unique(self.pwl_gen))
+        )
 
     def admittances(self):
         """Branch admittance four-tuples (gff,bff,gft,bft,gtf,btf,gtt,btt)
@@ -226,7 +257,21 @@ def replicate_case(
     tie_f = np.array([case.ref_bus + i * nb for i in range(k - 1)])
     tie_t = np.array([(nb - 1) + (i + 1) * nb for i in range(k - 1)])
     nt = k - 1
+    extras = {}
+    if case.pwl_gen is not None:
+        extras["pwl_gen"] = tile_idx(case.pwl_gen, ng)
+        extras["pwl_slope"] = tile(case.pwl_slope)
+        extras["pwl_icpt"] = tile(case.pwl_icpt)
+    if case.dc_f is not None:
+        extras["dc_f"] = tile_idx(case.dc_f)
+        extras["dc_t"] = tile_idx(case.dc_t)
+        for fld in (
+            "dc_pmin", "dc_pmax", "dc_qminf", "dc_qmaxf", "dc_qmint",
+            "dc_qmaxt", "dc_loss0", "dc_loss1",
+        ):
+            extras[fld] = tile(getattr(case, fld))
     return PowerCase(
+        **extras,
         name=name or f"{case.name}x{k}",
         baseMVA=case.baseMVA,
         bus_pd=tile(case.bus_pd),
