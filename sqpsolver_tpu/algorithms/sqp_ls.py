@@ -118,7 +118,20 @@ def make_ls_solver(
         ),
         kkt_backend=params.kkt_backend,
         plane=params.kkt_precision == "mixed_plane",
-        polish_iters=20 if polish else 0,
+        # 20 = mixed_polish floor->tol phase; 8 = stall rescue (see sqp_tr)
+        polish_iters=(
+            20
+            if polish
+            else (
+                8
+                if (
+                    params.kkt_precision.startswith("mixed")
+                    and not params.kkt_structured
+                    and dtype == jnp.float64
+                )
+                else 0
+            )
+        ),
         # bounded Schur set for the f32-factorized fast path (see sqp_tr /
         # qp_ipm.IpmOptions.schur_cap); overflow rows fold with bounded 1/E
         invE_floor=3.0e-7 if schur_cap_for(params, nlp) else 0.0,

@@ -112,6 +112,7 @@ class SqpState(NamedTuple):
     n_reject: Array
     n_soc_accept: Array
     n_fr_iters: Array
+    n_qp_bad: Array  # consecutive stalled-QP count (see stage 3c)
     stats: Any  # dict of per-iteration arrays or None
 
 
@@ -134,6 +135,14 @@ class SqpResult(NamedTuple):
     n_soc_accept: Array
     n_fr_iters: Array
     stats: Any
+
+
+#: consecutive stalled-QP iterations (qp_bad) tolerated before a lane fails
+#: with ERROR_IN_STEP_COMPUTATION.  Each stall halves the TR, which
+#: regularizes the next QP's KKT systems; 3 halvings recover every transient
+#: f32-precision stall observed on the real-case ACOPF batteries while still
+#: failing fast on genuinely broken subproblems (stage 3c).
+_QP_BAD_MAX = 3
 
 
 def _trust_region_box(x, x_l, x_u, tr):
@@ -238,7 +247,25 @@ def make_solver(
         invE_floor=(
             3.0e-7 if (params.kkt_structured or schur_cap) else 0.0
         ),
-        polish_iters=20 if polish else 0,
+        # mixed_polish: 20 f64 iterations to close the floor->tol gap.
+        # All other dense f32-factorized modes: 8 f64 STALL-RESCUE
+        # iterations — a lane whose f32 phase exits unconverged (barrier/
+        # high-penalty KKT past f32's conditioning range) continues with
+        # exact factors instead of failing; costs zero trips when every
+        # lane converged in the f32 phase (qp_ipm.IpmOptions.polish_iters)
+        polish_iters=(
+            20
+            if polish
+            else (
+                8
+                if (
+                    params.kkt_precision.startswith("mixed")
+                    and not params.kkt_structured
+                    and dtype == jnp.float64
+                )
+                else 0
+            )
+        ),
         schur_cap=schur_cap,
     )
     w_big = jnp.asarray(params.elastic_weight, dtype)
@@ -655,6 +682,22 @@ def make_solver(
             _inf_norm(sol.y),
             jnp.maximum(_inf_norm(sol.mult_lo), _inf_norm(sol.mult_up)),
         )
+        # growth clamp: one marginal QP can report outlier multipliers, and
+        # since mu never decreases, an unclamped fresh-dual update would
+        # poison the merit permanently (observed: case30 scenario lanes
+        # jumping mu 4e2 -> 1.6e6 off a rejected step's duals, after which
+        # every step is rejected and the KKT systems outrun f32 precision).
+        # Genuine dual growth tracks the accepted iterates; a 1e4x headroom
+        # over the accepted multipliers passes every legitimate jump in the
+        # batteries while absorbing the spikes.
+        mu_cap = 1.0e4 * (
+            1.0
+            + jnp.maximum(
+                _inf_norm(st.lam),
+                jnp.maximum(_inf_norm(st.mult_lo), _inf_norm(st.mult_up)),
+            )
+        )
+        mu_fresh = jnp.minimum(mu_fresh, mu_cap)
         use_fresh = jnp.logical_and(~failed, ~st.fr)
         mu = jnp.maximum(mu, jnp.where(use_fresh, mu_fresh, 0.0))
         mu = jnp.minimum(mu, jnp.asarray(params.max_mu, dtype))
@@ -710,20 +753,43 @@ def make_solver(
         )
 
         #    3c. unexpected QP status (:169-178); reference's dead assignment
-        #        ret == -3 is fixed to an assignment here (module docstring)
+        #        ret == -3 is fixed to an assignment here (module docstring).
+        #        Deviation (robustness, PARITY.md): the reference aborts on
+        #        ANY unexpected QP status because its subproblem solver is
+        #        Ipopt — an Ipopt failure is terminal.  The in-framework
+        #        f32-factorized IPM can instead stall *transiently* on a hard
+        #        barrier system; a stalled QP is handled like a rejected step
+        #        (TR halved — the tighter TR box regularizes the next QP) and
+        #        only _QP_BAD_MAX consecutive stalls are fatal.
+        n_qp_bad = jnp.where(qp_bad, st.n_qp_bad + 1, 0).astype(jnp.int32)
+        fatal_bad = jnp.logical_and(qp_bad, n_qp_bad >= _QP_BAD_MAX)
+        bad_retry = jnp.logical_and(
+            live, jnp.logical_and(qp_bad, ~fatal_bad)
+        )
         bad_ret = jnp.where(
             st.prim_infeas <= tol_inf * 10.0,
             Status.FEASIBLE_POINT_FOUND,
             Status.ERROR_IN_STEP_COMPUTATION,
         )
-        set_bad = jnp.logical_and(live, qp_bad)
+        set_bad = jnp.logical_and(live, fatal_bad)
         st = st._replace(
+            n_qp_bad=n_qp_bad,
             ret=jnp.where(set_bad, bad_ret, st.ret),
             done=jnp.logical_or(st.done, set_bad),
+            tr=jnp.where(
+                bad_retry,
+                jnp.maximum(0.5 * st.tr, 0.1 * tol_dir),
+                st.tr,
+            ),
+            step_accepted=jnp.where(bad_retry, False, st.step_accepted),
+            n_reject=st.n_reject + bad_retry.astype(jnp.int32),
         )
         live = ~st.done
-        # FR entry skips the rest of the iteration (the `continue` at :167)
-        live_step = jnp.logical_and(live, ~fr_enter)
+        # FR entry and stalled-QP retries skip the rest of the iteration
+        # (the `continue` at :167)
+        live_step = jnp.logical_and(
+            live, jnp.logical_and(~fr_enter, ~bad_retry)
+        )
 
         # 4. refresh merit after accepted steps (:180-182), with current mu
         phi_new = merit(st.f, st.E, st.x, st.mu, st.fr, d)
@@ -945,6 +1011,7 @@ def make_solver(
             n_reject=jnp.array(0, jnp.int32),
             n_soc_accept=jnp.array(0, jnp.int32),
             n_fr_iters=jnp.array(0, jnp.int32),
+            n_qp_bad=jnp.array(0, jnp.int32),
             stats=init_stats(),
         )
 

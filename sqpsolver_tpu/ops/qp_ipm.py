@@ -120,14 +120,25 @@ class IpmOptions:
     #: A small floor bounds the amplification at the cost of an O(floor)
     #: inexactness the IPM absorbs.  0 = exact condensation (dense default).
     invE_floor: float = 0.0
-    #: float64 polish phase (kkt_precision="mixed_polish"): run the float32-
-    #: factorized loop to the mixed-precision floor (~2e-6 — cond(K) grows
-    #: like 1/mu on the barrier path, and once it exceeds 1/eps_f32 ~ 1e7
-    #: the f32 factor stops being a contraction for iterative refinement),
-    #: then CONTINUE the same interior-point iteration with direct
-    #: compute-dtype factorizations for at most this many extra iterations
-    #: to reach the strict tolerance.  Only the last ~2-4 iterations pay
-    #: f64-emulation cost.  0 = off (single-phase).  Dense backend only.
+    #: float64 second phase: run the float32-factorized loop first, then
+    #: CONTINUE the same interior-point iteration with direct compute-dtype
+    #: factorizations for at most this many extra iterations.  Two uses, one
+    #: mechanism:
+    #:
+    #: * strict tolerances (kkt_precision="mixed_polish", tol below the
+    #:   ~2e-6 mixed-precision floor — cond(K) grows like 1/mu on the
+    #:   barrier path, and once it exceeds 1/eps_f32 ~ 1e7 the f32 factor
+    #:   stops being a contraction for iterative refinement): phase 1 stops
+    #:   at the floor, phase 2 closes the gap to tol.  Only the last ~2-4
+    #:   iterations pay f64-emulation cost.
+    #: * stall rescue (any tolerance): a lane whose f32 phase exits
+    #:   unconverged — a barrier/high-penalty KKT system past f32's
+    #:   conditioning range — continues with exact factors instead of
+    #:   failing.  Lanes that converged in phase 1 take ZERO phase-2 trips,
+    #:   so the rescue costs nothing on the happy path (under vmap the
+    #:   batched loop exits at trip 0 when no lane needs it).
+    #:
+    #: 0 = off (single-phase).  Dense backend only.
     polish_iters: int = 0
     #: static cap on the Schur (stiff) set size.  The hybrid split sends
     #: every small-E row (equalities + active constraints) through the dense
@@ -644,7 +655,6 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         and Q is not None
         and opts.factor_dtype == "float32"
         and dtype == jnp.float64
-        and opts.tol < _POLISH_FLOOR
     )
     loop_cfg = dict(
         op=op,
@@ -655,6 +665,8 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         # Schur-set cap (IpmOptions.schur_cap); the f64 polish phase lifts
         # it (cap=0) so nothing blocks strict-tolerance dual accuracy
         cap=opts.schur_cap,
+        # f32-phase stall/divergence cutoffs (see body_fn); lifted in phase 2
+        guard=True,
     )
 
     def cond_fn(st):
@@ -918,7 +930,7 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
             st["since_improve"] + 1,
             0,
         )
-        if opts.stall_iters > 0:
+        if opts.stall_iters > 0 and loop_cfg["guard"]:
             new["failed"] = jnp.logical_or(
                 new["failed"], new["since_improve"] >= opts.stall_iters
             )
@@ -938,11 +950,18 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         # 1e4: wide enough that a transient excursion at the float32
         # precision floor (iterates wander once the Newton systems go
         # noise-dominated) does not abort a solve whose best iterate is
-        # already usable — the best-iterate snapshot is what gets returned
-        diverging = err > 1.0e4 * jnp.maximum(
-            new["best"]["err"], loop_cfg["tol"]
-        )
-        new["failed"] = jnp.logical_or(new["failed"], diverging)
+        # already usable — the best-iterate snapshot is what gets returned.
+        # Both cutoffs are PHASE-1 (f32) guards: the exact-factor second
+        # phase disables them (loop_cfg["guard"]) — its steps are trusted,
+        # and a lane crossing into the elastic (slack-growing) regime spikes
+        # err transiently in a way the divergence test misreads (observed:
+        # the stall rescue aborted after one trip on an elastically-solvable
+        # QP).  max_iter still bounds the phase.
+        if loop_cfg["guard"]:
+            diverging = err > 1.0e4 * jnp.maximum(
+                new["best"]["err"], loop_cfg["tol"]
+            )
+            new["failed"] = jnp.logical_or(new["failed"], diverging)
 
         # numerical-breakdown backstop: if anything went non-finite, revert to
         # the previous iterate and stop (converged stays False -> the caller's
@@ -980,6 +999,7 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         loop_cfg["tol"] = jnp.asarray(opts.tol, dtype)
         loop_cfg["max_iter"] = opts.max_iter + opts.polish_iters
         loop_cfg["cap"] = 0
+        loop_cfg["guard"] = False
         tol_s = jnp.asarray(opts.tol, dtype)
         strict = jnp.logical_and(
             st["pri_res"] < tol_s,
@@ -988,13 +1008,38 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         skiparr = (
             jnp.array(False) if skip is None else jnp.asarray(skip, bool)
         )
+        # entry selection (all per-solve scalars, so vmap lanes diverge
+        # freely): strict/skipped lanes take zero trips; lanes that
+        # converged at the phase-1 (floored) tolerance CONTINUE warm (the
+        # mixed_polish floor->tol case); lanes that exited unconverged
+        # RESTART COLD with exact factors — an f32 exit is typically jammed
+        # at a degenerate corner (complementarity pair at the boundary,
+        # fraction-to-boundary alpha ~ 0) where exact Newton steps cannot
+        # recover either, while a fresh exact solve converges normally.
+        done2 = jnp.logical_or(strict, skiparr)
+        cold = jnp.logical_and(~done2, ~st["converged"])
+        best1 = st["best"]
+        st = jax.tree.map(
+            lambda a, b: jnp.where(cold, b, a), st, state0
+        )
         st = dict(
             st,
-            converged=jnp.logical_or(strict, skiparr),
+            best=best1,  # the return value considers both phases
+            converged=done2,
             failed=jnp.array(False),
             since_improve=jnp.array(0, jnp.int32),
+            iters=jnp.where(cold, 0, st["iters"]).astype(jnp.int32),
         )
-        st = lax.while_loop(cond_fn, body_fn, st)
+        # fresh function OBJECTS for the second loop: jax caches the traced
+        # (initial-style) jaxpr of while_loop cond/body keyed on the function
+        # object's identity, so reusing cond_fn/body_fn here would silently
+        # replay the PHASE-1 trace — the loop_cfg mutations above would never
+        # be seen, phase 2 would inherit max_iter/tol/op from phase 1 and
+        # exit after zero trips (observed: the polish/rescue phase was a
+        # no-op under jit while working under disable_jit)
+        st = lax.while_loop(
+            lambda s: cond_fn(s), lambda s: body_fn(s), st
+        )
 
     # return the best iterate seen (identical to the final one in the normal
     # well-conditioned case)
