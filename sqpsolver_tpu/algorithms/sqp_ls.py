@@ -212,7 +212,8 @@ def make_ls_solver(
         )
         return jnp.where(jnp.isfinite(phi), phi, jnp.asarray(jnp.inf, dtype))
 
-    def solve_subproblem(x, df, E, J, H_qp, fr, d: NLPData, skip=None):
+    def solve_subproblem(x, df, E, J, H_qp, fr, d: NLPData, skip=None,
+                         init=None):
         rl = d.g_l - E
         ru = d.g_u - E
         v_lb = d.x_l - x
@@ -229,7 +230,9 @@ def make_ls_solver(
         )
         Q = jnp.where(fr, jnp.zeros_like(H_qp), H_qp)
         c = jnp.where(fr, jnp.zeros_like(df), df)
-        sol = solve_qp(Q, c, J, rl, ru, lb, ub, w, opts=ipm_opts, skip=skip)
+        sol = solve_qp(
+            Q, c, J, rl, ru, lb, ub, w, opts=ipm_opts, skip=skip, init=init
+        )
         # drop step-box duals that belong to the fixed |p|<=1000 box rather
         # than a true variable bound (see sqp_tr.solve_subproblem)
         sol = sol._replace(
@@ -281,8 +284,21 @@ def make_ls_solver(
         )
 
         H_qp = convexify(H)
+        # dual warm start (Parameters.qp_warm_start; see sqp_tr): LS replaces
+        # multipliers outright each iteration, so st.lam/mults are exactly
+        # the previous QP's duals.  The primal stays cold — LS moves x every
+        # iteration (alpha-damped), so the previous step is a weak guess.
+        init = None
+        if params.qp_warm_start:
+            init = dict(
+                p=jnp.zeros((n,), dtype),
+                y=st.lam,
+                zl=st.mult_lo,
+                zu=st.mult_up,
+                on=jnp.logical_and(st.iter > 1, ~st.fr),
+            )
         sol, qp_infeasible, qp_bad = solve_subproblem(
-            st.x, df, E, J, H_qp, st.fr, d, skip=st.done
+            st.x, df, E, J, H_qp, st.fr, d, skip=st.done, init=init
         )
         failed = jnp.logical_or(qp_infeasible, qp_bad)
         p = jnp.where(failed, 0.0, sol.p)
@@ -428,8 +444,16 @@ def make_ls_solver(
         need_soc = jnp.logical_and(live_step, ~ls_ok)
         # per-lane skip: when no lane failed its line search the SOC QP's
         # while_loop exits at trip 0 (same gating as the TR driver)
+        soc_init = None
+        if params.qp_warm_start:
+            # duals from the QP this SOC corrects (lam == sol.y on the lanes
+            # that reach here)
+            soc_init = dict(
+                p=jnp.zeros((n,), dtype), y=lam, zl=mlo, zu=mup, on=need_soc
+            )
         soc_sol = solve_qp(
-            H_qp, df, J, rl, ru, lb, ub, w, opts=ipm_opts, skip=~need_soc
+            H_qp, df, J, rl, ru, lb, ub, w, opts=ipm_opts, skip=~need_soc,
+            init=soc_init,
         )
         soc = jnp.where(need_soc, soc_sol.p, 0.0)
         alpha = jnp.where(need_soc, 1.0, alpha)

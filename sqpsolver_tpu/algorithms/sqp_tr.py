@@ -490,16 +490,32 @@ def make_solver(
         w_fr = jnp.where(freed, jnp.asarray(1.0, dtype), w_big)
         w = jnp.where(st.fr, w_fr, w_big)
         c = jnp.where(st.fr, jnp.zeros_like(st.df), st.df)
+        # warm start (Parameters.qp_warm_start): the accepted duals are the
+        # natural anchors across the SQP sequence; the previous primal step
+        # is only reused after a REJECTED step (same x, shrunk TR box) —
+        # after acceptance the linearization moved and p=0 is the better
+        # (cold) primal guess.  FR lanes stay cold: the restoration QP's
+        # objective/weights differ and its multipliers live on another scale.
+        init = None
+        if params.qp_warm_start:
+            init = dict(
+                p=jnp.where(st.step_accepted, 0.0, st.p),
+                y=st.lam,
+                zl=st.mult_lo,
+                zu=st.mult_up,
+                on=jnp.logical_and(st.iter > 1, ~st.fr),
+            )
         if structured:
             Q = jax.tree.map(lambda h: jnp.where(st.fr, 0.0, h), H_qp)
             sol = solve_qp_op(
                 qp_operator(Q, st.J), c, rl, ru, lb, ub, w,
-                opts=ipm_opts, skip=st.done,
+                opts=ipm_opts, skip=st.done, init=init,
             )
         else:
             Q = jnp.where(st.fr, jnp.zeros_like(st.H), H_qp)
             sol = solve_qp(
-                Q, c, st.J, rl, ru, lb, ub, w, opts=ipm_opts, skip=st.done
+                Q, c, st.J, rl, ru, lb, ub, w, opts=ipm_opts, skip=st.done,
+                init=init,
             )
         # keep a box dual as an NLP bound multiplier only when the TRUE
         # variable bound (not the trust region) is the active side of the
@@ -529,7 +545,7 @@ def make_solver(
         qp_bad = jnp.logical_and(qp_bad, ~infeasible)
         return sol, infeasible, qp_bad
 
-    def solve_soc(st: SqpState, E_trial, d: NLPData, H_qp, try_soc):
+    def solve_soc(st: SqpState, E_trial, d: NLPData, H_qp, try_soc, duals):
         """Second-order correction QP (sqp_trust_region.jl:341-360):
         re-linearize the residual at x+p and resolve.
 
@@ -541,15 +557,25 @@ def make_solver(
         ru = d.g_u - E_soc
         lb, ub = _trust_region_box(st.x, d.x_l, d.x_u, st.tr)
         w = jnp.full((m,), w_big, dtype)
+        # warm start the DUALS from the QP being corrected: same Q/A/box,
+        # only the row rhs moved by the curvature correction.  The solved
+        # variable is the small correction on top of st.p (the caller adds
+        # them), so the primal guess stays at the cold origin.
+        init = None
+        if params.qp_warm_start:
+            y_w, zl_w, zu_w = duals
+            init = dict(
+                p=jnp.zeros_like(st.p), y=y_w, zl=zl_w, zu=zu_w, on=try_soc
+            )
         if structured:
             sol = solve_qp_op(
                 qp_operator(H_qp, st.J), st.df, rl, ru, lb, ub, w,
-                opts=ipm_opts, skip=~try_soc,
+                opts=ipm_opts, skip=~try_soc, init=init,
             )
         else:
             sol = solve_qp(
                 H_qp, st.df, st.J, rl, ru, lb, ub, w, opts=ipm_opts,
-                skip=~try_soc,
+                skip=~try_soc, init=init,
             )
         return st.p + sol.p, sol.iters
 
@@ -877,7 +903,9 @@ def make_solver(
                 jnp.logical_and(~accept, c_k > 0.0), ~st.fr
             )
             try_soc = jnp.logical_and(try_soc, live_step)
-            p_soc, soc_qp_iters = solve_soc(st, E_t, d, H_qp, try_soc)
+            p_soc, soc_qp_iters = solve_soc(
+                st, E_t, d, H_qp, try_soc, (new_lam, new_mlo, new_mup)
+            )
             x_soc = st.x + p_soc
             f_soc = nlp.obj(x_soc, theta)
             E_soc_t = nlp.cons(x_soc, theta)

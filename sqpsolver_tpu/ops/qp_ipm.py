@@ -449,6 +449,7 @@ def solve_qp(
     w: Array,
     opts: IpmOptions = IpmOptions(),
     skip: Array | None = None,
+    init: dict | None = None,
 ) -> QpSolution:
     """Solve the canonical elastic QP (module docstring) to tolerance.
 
@@ -464,11 +465,23 @@ def solve_qp(
     instances, un-triggered SOC) contribute nothing to the batched
     while_loop's trip count, so the inner loop runs only as long as the
     slowest *active* lane (VERDICT r1 weakness #3).
+
+    ``init`` (optional warm start): dict with ``p`` (n,), ``y`` (m,),
+    ``zl``/``zu`` (n,) and a traced bool ``on``.  Lanes with ``on`` start
+    from the previous QP's solution — primal clipped strictly inside the
+    (new, possibly shrunk) box, row duals clamped into the elastic dual box
+    ``|y| < w``, bound duals floored at ``_WARM_DUAL_FLOOR`` to keep every
+    complementarity pair strictly positive.  Across an SQP sequence the QP
+    data changes slowly and the duals converge, so warm-started solves cut
+    the Mehrotra iteration count roughly in half (the classic SQP+IPM
+    warm-start result); under vmap that directly shortens the max-over-lanes
+    trip count of the inner while_loop.  Lanes with ``on=False`` use the
+    cold Mehrotra start, bitwise identical to ``init=None``.
     """
     # TPU matmuls default to bfloat16 passes; the float32 matrix plane and
     # the refinement contraction both need true float32 products
     with jax.default_matmul_precision("float32"):
-        return _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip)
+        return _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip, init=init)
 
 
 def solve_qp_op(
@@ -481,6 +494,7 @@ def solve_qp_op(
     w: Array,
     opts: IpmOptions = IpmOptions(),
     skip: Array | None = None,
+    init: dict | None = None,
 ) -> QpSolution:
     """``solve_qp`` with a custom linear-algebra backend (e.g. the
     bordered-block-diagonal :class:`sqpsolver_tpu.ops.kkt_bbd.BbdOperator`)
@@ -488,11 +502,21 @@ def solve_qp_op(
     traced code (the operator closes over traced arrays)."""
     with jax.default_matmul_precision("float32"):
         return _solve_qp_impl(
-            None, c, None, rl, ru, lb, ub, w, opts, skip, op=op
+            None, c, None, rl, ru, lb, ub, w, opts, skip, op=op, init=init
         )
 
 
-def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
+#: floor for warm-started bound/row duals: keeps every complementarity pair
+#: strictly positive (an exactly-zero dual would make its pair's barrier
+#: term degenerate).  Small enough that inactive constraints start nearly
+#: complementarity-satisfied (their pair product ~ box_width * floor), large
+#: enough that the fraction-to-boundary rule is not crippled on the first
+#: steps.
+_WARM_DUAL_FLOOR = 1.0e-2
+
+
+def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
+                   init=None):
     # harmonize input dtypes (mixed f32/f64 inputs would otherwise promote
     # inside the while_loop and break the carry signature)
     if op is None:
@@ -569,6 +593,80 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
     lu = jnp.where(hru, one_m, 0.0)  # lambda_u
     zeta_u = w + y  # dual-feasible start for the elastic duals
     zeta_v = w - y
+
+    # cold-start fields, kept verbatim: the float64 rescue phase (below)
+    # restarts unconverged lanes from the COLD point — a warm start that led
+    # the f32 phase astray must not also seed the rescue
+    cold_fields = dict(
+        p=p, s=s, u=u, v=v, y=y, zl=zl, zu=zu, ll=ll, lu=lu,
+        zeta_u=zeta_u, zeta_v=zeta_v,
+    )
+
+    # ------------------------------------------------- warm start (opt-in) --
+    if init is not None:
+        on = jnp.asarray(init["on"], bool)
+        zf = jnp.asarray(_WARM_DUAL_FLOOR, dtype)
+        # primal: previous solution clipped strictly inside the new box
+        # (after a TR shrink the old step may sit outside; a 5% pad keeps
+        # the fraction-to-boundary rule alive at active bounds)
+        p_w = jnp.clip(
+            init["p"].astype(dtype),
+            jnp.where(hlb, lb_eff + 0.05 * pad_p, -_BIG),
+            jnp.where(hub, ub_eff - 0.05 * pad_p, _BIG),
+        )
+        p = jnp.where(on, p_w, p)
+        Ap_w = op.a_mv(p)
+        s_w = jnp.clip(
+            Ap_w,
+            jnp.where(hrl, rl + 0.05 * pad_s, -_BIG),
+            jnp.where(hru, ru - 0.05 * pad_s, _BIG),
+        )
+        s = jnp.where(eq, rl, jnp.where(on, s_w, s))
+        # row duals clamped into the elastic dual box (zeta = w -+ y > 0)
+        y_w = jnp.clip(init["y"].astype(dtype), -0.99 * w, 0.99 * w)
+        y = jnp.where(on, y_w, y)
+        zeta_u = w + y
+        zeta_v = w - y
+        on_lb = jnp.logical_and(on, hlb)
+        on_ub = jnp.logical_and(on, hub)
+        zl_w = jnp.maximum(init["zl"].astype(dtype), zf)
+        zu_w = jnp.maximum(init["zu"].astype(dtype), zf)
+        # sign-split of y onto the one-sided row duals (rd_s: ll - lu = -y)
+        ll_w = _pos(-y) + zf
+        lu_w = _pos(y) + zf
+        # centrality lift: a warm point's complementarity pairs can be
+        # arbitrarily asymmetric (a stale near-zero dual against a wide-open
+        # primal gap, or vice versa), which stalls Mehrotra's centering on
+        # the first steps.  Lift every dual so its pair product is at least
+        # a fraction of the warm point's own mean complementarity — the
+        # standard primal-dual warm-start safeguard.
+        a_pl_w = jnp.where(hlb, p - lb_eff, 1.0)
+        a_pu_w = jnp.where(hub, ub_eff - p, 1.0)
+        a_sl_w = jnp.where(hrl, s - rl, 1.0)
+        a_su_w = jnp.where(hru, ru - s, 1.0)
+        tot_w = (
+            jnp.sum(jnp.where(hlb, a_pl_w * zl_w, 0.0))
+            + jnp.sum(jnp.where(hub, a_pu_w * zu_w, 0.0))
+            + jnp.sum(jnp.where(hrl, a_sl_w * ll_w, 0.0))
+            + jnp.sum(jnp.where(hru, a_su_w * lu_w, 0.0))
+            + jnp.sum(u * zeta_u)
+            + jnp.sum(v * zeta_v)
+        )
+        pairs_w = jnp.maximum(
+            (jnp.sum(hlb) + jnp.sum(hub) + jnp.sum(hrl) + jnp.sum(hru)
+             + 2 * m).astype(dtype),
+            1.0,
+        )
+        mu_w = tot_w / pairs_w
+        lift = 0.1 * mu_w
+        zl_w = jnp.maximum(zl_w, lift / a_pl_w)
+        zu_w = jnp.maximum(zu_w, lift / a_pu_w)
+        ll_w = jnp.maximum(ll_w, lift / a_sl_w)
+        lu_w = jnp.maximum(lu_w, lift / a_su_w)
+        zl = jnp.where(on_lb, zl_w, zl)
+        zu = jnp.where(on_ub, zu_w, zu)
+        ll = jnp.where(jnp.logical_and(on, hrl), ll_w, ll)
+        lu = jnp.where(jnp.logical_and(on, hru), lu_w, lu)
 
     n_pairs = (
         jnp.sum(hlb) + jnp.sum(hub) + jnp.sum(hrl) + jnp.sum(hru) + 2 * m
@@ -1019,8 +1117,10 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None):
         done2 = jnp.logical_or(strict, skiparr)
         cold = jnp.logical_and(~done2, ~st["converged"])
         best1 = st["best"]
+        # restart from the true COLD point, even when phase 1 was warm-started
+        state0_cold = dict(state0, **cold_fields)
         st = jax.tree.map(
-            lambda a, b: jnp.where(cold, b, a), st, state0
+            lambda a, b: jnp.where(cold, b, a), st, state0_cold
         )
         st = dict(
             st,

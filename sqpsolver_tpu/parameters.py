@@ -68,6 +68,13 @@ class Parameters:
     qp_infeas_tol: float = 1.0e-6
     #: fraction-to-boundary factor of the interior-point solver
     qp_ftb: float = 0.995
+    #: warm-start each QP subproblem's interior-point solve from the previous
+    #: SQP iteration's multipliers (and, after rejected steps, its primal
+    #: step).  Cuts the Mehrotra iteration count roughly in half across an
+    #: SQP sequence; under vmap the batched inner loop runs max-over-lanes
+    #: trips, so the saving compounds.  The SOC correction QP additionally
+    #: warm-starts from the QP it corrects.  Cold starts everywhere when off.
+    qp_warm_start: bool = True
     #: compute dtype: "float64" or "float32"
     dtype: str = "float64"
     #: KKT linear-solve policy: "direct" (Cholesky in compute dtype),
