@@ -163,12 +163,19 @@ def make_solver(
     params: Parameters = Parameters(),
     *,
     verbose: Optional[bool] = None,
+    block_shard=None,
 ) -> Callable[[NLPData], SqpResult]:
     """Build the jittable single-instance SQP-TR solve function.
 
     The returned function maps :class:`NLPData` (bounds/x0/theta arrays) to a
     :class:`SqpResult`; it is a pure jax function — jit it, vmap it over a
     batch of NLPData, or pjit it over a device mesh.
+
+    ``block_shard=(mesh, axis)`` (structured mode only): shard the BBD part
+    axis of ONE large instance over a device mesh — per-block factorizations
+    and matmuls run device-local, separator/Schur reductions become
+    all-reduces over the mesh axis (see ops.kkt_bbd.BlockMaps).  Do not
+    combine with vmap instance batching.
     """
     if params.algorithm != "SQP-TR":
         raise ValueError(
@@ -298,7 +305,7 @@ def make_solver(
             n, m, nlp.structure, eq_mask_np,
             n_parts=(params.kkt_parts or None),
         )
-        maps = BlockMaps(bs)
+        maps = BlockMaps(bs, shard=block_shard)
         # jvp/hvp seed matrices from the colorings (one-hot per color)
         seedsJ_np = _np.zeros((bs.nJ, n))
         seedsJ_np[bs.colorJ, _np.arange(n)] = 1.0

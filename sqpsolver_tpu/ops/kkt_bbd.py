@@ -156,10 +156,27 @@ class BlockMaps:
     """Device-side index/mask constants of a BlockStructure plus the
     layout/matvec primitives shared by the SQP driver and the IPM operator.
     Build once per solver (static structure -> baked into the jitted
-    program)."""
+    program).
 
-    def __init__(self, bs):
+    ``shard=(mesh, axis)`` (optional) shards the leading part axis P of every
+    block tensor over a ``jax.sharding.Mesh`` via GSPMD sharding constraints:
+    the batched interior factorizations and panel matmuls run device-local,
+    and the separator/Schur reductions (``einsum pk...->...``) lower to
+    all-reduces over the mesh axis — cross-block coupling rides ICI while
+    the O(P) block work scales out.  This is the multi-device layout for ONE
+    large structured instance (e.g. a cross-scenario coupled NLP,
+    models/stochastic); batches of independent instances should shard the
+    instance axis instead (parallel.sharding.make_sharded_solver)."""
+
+    def __init__(self, bs, shard=None):
         self.bs = bs
+        self._shard = None
+        if shard is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            mesh, axis = shard
+            self._shard = (mesh, axis, NamedSharding, PartitionSpec)
+
         self.int_idx = jnp.asarray(bs.int_idx)  # (P, nd), pad = n
         self.int_mask = jnp.asarray(bs.int_mask)
         self.sep_idx = jnp.asarray(bs.sep_idx)  # (ns,)
@@ -180,6 +197,17 @@ class BlockMaps:
         self.eq_gidx = jnp.asarray(bs.eq_gidx)  # (P, mre), pad = m_eq
         self.eq_order = jnp.asarray(bs.eq_order)  # (m_eq,)
         self.is_eq = jnp.asarray(bs.is_eq)  # (m,)
+
+    def shard_p(self, x):
+        """Constrain a (P, ...) block tensor to be sharded over the part
+        axis (no-op when block sharding is off)."""
+        if self._shard is None:
+            return x
+        mesh, axis, NamedSharding, PartitionSpec = self._shard
+        spec = PartitionSpec(axis, *(None,) * (x.ndim - 1))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, spec)
+        )
 
     # ------------------------------------------------------------ layout --
     def to_blocks(self, x):
@@ -224,7 +252,7 @@ class BlockMaps:
             JcP[self.rows[:, :, None], self.colJ_sep[None, None, :]],
             0.0,
         )
-        return A_int, A_sep
+        return self.shard_p(A_int), self.shard_p(A_sep)
 
     def hess_blocks(self, HcT):
         """Compressed Hessian (n, nH) -> ``H_pp, H_ps, H_ss`` blocks."""
@@ -246,7 +274,7 @@ class BlockMaps:
             HcP[self.sep_idx[:, None], self.colH_sep[None, :]],
             0.0,
         )
-        return H_pp, H_ps, H_ss
+        return self.shard_p(H_pp), self.shard_p(H_ps), H_ss
 
     # ----------------------------------------------------------- matvecs --
     def h_mv(self, H, x):
@@ -385,7 +413,9 @@ class BbdOperator:
         K_pp = H_pp32 + jnp.einsum("prk,prl->pkl", AeI, A_int32)
         diag_pp = jnp.where(maps.int_mask, d_p, 1.0)  # identity on padding
         K_pp = K_pp.at[:, jnp.arange(bs.nd), jnp.arange(bs.nd)].add(diag_pp)
+        K_pp = maps.shard_p(K_pp)
         K_ps = H_ps32 + jnp.einsum("prk,prs->pks", AeI, A_sep32)
+        K_ps = maps.shard_p(K_ps)
         K_ss = H_ss32 + jnp.einsum(
             "prs,prt->st", A_sep32 * e_rows[:, :, None], A_sep32
         )

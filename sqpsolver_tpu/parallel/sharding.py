@@ -59,6 +59,31 @@ def make_sharded_solver(
     return jax.jit(jax.vmap(core))
 
 
+def make_block_sharded_solver(
+    nlp: NLP,
+    params: Parameters,
+    mesh: Optional[Mesh] = None,
+    axis: str = "block",
+) -> Callable[[NLPData], SqpResult]:
+    """Compile ONE large structured instance with its BBD part axis sharded
+    over the mesh (SURVEY §7 step 6: Schur-complement coupling over the
+    interconnect).
+
+    Requires ``params.kkt_structured=True`` and ``nlp.structure``; pick
+    ``params.kkt_parts`` as a multiple of the mesh size so the interior
+    blocks divide evenly across devices.  Typical use: a cross-scenario
+    coupled NLP (models/stochastic) whose scenario blocks spread over the
+    chips while the shared first-stage block reduces over ICI.
+    """
+    if not params.kkt_structured:
+        raise ValueError("block sharding requires kkt_structured=True")
+    mesh = mesh or instance_mesh(axis=axis)
+    core = make_solver(
+        nlp, params, verbose=False, block_shard=(mesh, axis)
+    )._raw
+    return jax.jit(core)
+
+
 def solve_sharded(
     nlp: NLP,
     params: Parameters,
