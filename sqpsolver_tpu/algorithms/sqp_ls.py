@@ -212,8 +212,19 @@ def make_ls_solver(
         )
         return jnp.where(jnp.isfinite(phi), phi, jnp.asarray(jnp.inf, dtype))
 
+    def _adaptive_qp_tol(prim, dual):
+        """Inexact-SQP forcing sequence (see sqp_tr._adaptive_qp_tol)."""
+        if params.qp_tol_adaptive <= 0.0:
+            return None
+        return jnp.clip(
+            jnp.asarray(params.qp_tol_adaptive, dtype)
+            * jnp.maximum(prim, dual),
+            0.0,
+            1.0e-3,
+        )
+
     def solve_subproblem(x, df, E, J, H_qp, fr, d: NLPData, skip=None,
-                         init=None):
+                         init=None, tol_override=None):
         rl = d.g_l - E
         ru = d.g_u - E
         v_lb = d.x_l - x
@@ -231,7 +242,8 @@ def make_ls_solver(
         Q = jnp.where(fr, jnp.zeros_like(H_qp), H_qp)
         c = jnp.where(fr, jnp.zeros_like(df), df)
         sol = solve_qp(
-            Q, c, J, rl, ru, lb, ub, w, opts=ipm_opts, skip=skip, init=init
+            Q, c, J, rl, ru, lb, ub, w, opts=ipm_opts, skip=skip, init=init,
+            tol_override=tol_override,
         )
         # drop step-box duals that belong to the fixed |p|<=1000 box rather
         # than a true variable bound (see sqp_tr.solve_subproblem)
@@ -298,7 +310,8 @@ def make_ls_solver(
                 on=jnp.logical_and(st.iter > 1, ~st.fr),
             )
         sol, qp_infeasible, qp_bad = solve_subproblem(
-            st.x, df, E, J, H_qp, st.fr, d, skip=st.done, init=init
+            st.x, df, E, J, H_qp, st.fr, d, skip=st.done, init=init,
+            tol_override=_adaptive_qp_tol(prim, dual),
         )
         failed = jnp.logical_or(qp_infeasible, qp_bad)
         p = jnp.where(failed, 0.0, sol.p)

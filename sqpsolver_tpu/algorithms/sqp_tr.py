@@ -480,6 +480,19 @@ def make_solver(
             return maps.h_add_diag(H, shift)
         return H + shift * jnp.eye(n, dtype=dtype)
 
+    def _adaptive_qp_tol(st: SqpState):
+        """Inexact-SQP forcing sequence (Parameters.qp_tol_adaptive): the QP
+        only needs solving to a fraction of the current outer KKT error.
+        Returns a traced per-lane scalar, or None when disabled."""
+        if params.qp_tol_adaptive <= 0.0:
+            return None
+        kkt_err = jnp.maximum(st.prim_infeas, st.dual_infeas)
+        return jnp.clip(
+            jnp.asarray(params.qp_tol_adaptive, dtype) * kkt_err,
+            0.0,
+            1.0e-3,
+        )
+
     def solve_subproblem(st: SqpState, d: NLPData, H_qp):
         """Normal/FR trust-region QP via input selection (no control flow —
         mirrors the sub_optimize! dispatch at sqp_trust_region.jl:314-331).
@@ -512,17 +525,18 @@ def make_solver(
                 zu=st.mult_up,
                 on=jnp.logical_and(st.iter > 1, ~st.fr),
             )
+        tol_dyn = _adaptive_qp_tol(st)
         if structured:
             Q = jax.tree.map(lambda h: jnp.where(st.fr, 0.0, h), H_qp)
             sol = solve_qp_op(
                 qp_operator(Q, st.J), c, rl, ru, lb, ub, w,
-                opts=ipm_opts, skip=st.done, init=init,
+                opts=ipm_opts, skip=st.done, init=init, tol_override=tol_dyn,
             )
         else:
             Q = jnp.where(st.fr, jnp.zeros_like(st.H), H_qp)
             sol = solve_qp(
                 Q, c, st.J, rl, ru, lb, ub, w, opts=ipm_opts, skip=st.done,
-                init=init,
+                init=init, tol_override=tol_dyn,
             )
         # keep a box dual as an NLP bound multiplier only when the TRUE
         # variable bound (not the trust region) is the active side of the
@@ -574,15 +588,16 @@ def make_solver(
             init = dict(
                 p=jnp.zeros_like(st.p), y=y_w, zl=zl_w, zu=zu_w, on=try_soc
             )
+        tol_dyn = _adaptive_qp_tol(st)
         if structured:
             sol = solve_qp_op(
                 qp_operator(H_qp, st.J), st.df, rl, ru, lb, ub, w,
-                opts=ipm_opts, skip=~try_soc, init=init,
+                opts=ipm_opts, skip=~try_soc, init=init, tol_override=tol_dyn,
             )
         else:
             sol = solve_qp(
                 H_qp, st.df, st.J, rl, ru, lb, ub, w, opts=ipm_opts,
-                skip=~try_soc, init=init,
+                skip=~try_soc, init=init, tol_override=tol_dyn,
             )
         return st.p + sol.p, sol.iters
 

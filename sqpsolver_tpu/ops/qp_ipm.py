@@ -450,6 +450,7 @@ def solve_qp(
     opts: IpmOptions = IpmOptions(),
     skip: Array | None = None,
     init: dict | None = None,
+    tol_override: Array | None = None,
 ) -> QpSolution:
     """Solve the canonical elastic QP (module docstring) to tolerance.
 
@@ -477,11 +478,21 @@ def solve_qp(
     warm-start result); under vmap that directly shortens the max-over-lanes
     trip count of the inner while_loop.  Lanes with ``on=False`` use the
     cold Mehrotra start, bitwise identical to ``init=None``.
+
+    ``tol_override`` (optional traced scalar): per-solve RELAXATION of the
+    convergence tolerance — the loop stops at ``max(opts.tol, tol_override)``.
+    This is the inexact-SQP forcing-sequence hook: early outer iterations
+    far from a KKT point only need the QP solved to a fraction of the
+    current outer error, not to the final tolerance.  Never tightens below
+    ``opts.tol``.
     """
     # TPU matmuls default to bfloat16 passes; the float32 matrix plane and
     # the refinement contraction both need true float32 products
     with jax.default_matmul_precision("float32"):
-        return _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip, init=init)
+        return _solve_qp_impl(
+            Q, c, A, rl, ru, lb, ub, w, opts, skip, init=init,
+            tol_override=tol_override,
+        )
 
 
 def solve_qp_op(
@@ -495,6 +506,7 @@ def solve_qp_op(
     opts: IpmOptions = IpmOptions(),
     skip: Array | None = None,
     init: dict | None = None,
+    tol_override: Array | None = None,
 ) -> QpSolution:
     """``solve_qp`` with a custom linear-algebra backend (e.g. the
     bordered-block-diagonal :class:`sqpsolver_tpu.ops.kkt_bbd.BbdOperator`)
@@ -502,7 +514,8 @@ def solve_qp_op(
     traced code (the operator closes over traced arrays)."""
     with jax.default_matmul_precision("float32"):
         return _solve_qp_impl(
-            None, c, None, rl, ru, lb, ub, w, opts, skip, op=op, init=init
+            None, c, None, rl, ru, lb, ub, w, opts, skip, op=op, init=init,
+            tol_override=tol_override,
         )
 
 
@@ -516,7 +529,7 @@ _WARM_DUAL_FLOOR = 1.0e-2
 
 
 def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
-                   init=None):
+                   init=None, tol_override=None):
     # harmonize input dtypes (mixed f32/f64 inputs would otherwise promote
     # inside the while_loop and break the carry signature)
     if op is None:
@@ -754,11 +767,16 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
         and opts.factor_dtype == "float32"
         and dtype == jnp.float64
     )
+    tol_p1 = jnp.asarray(
+        max(opts.tol, _POLISH_FLOOR) if do_polish else opts.tol, dtype
+    )
+    if tol_override is not None:
+        # inexact-SQP relaxation (solve_qp docstring): loosen, never tighten.
+        # Phase-1 only — the polish/rescue phase keeps its strict target.
+        tol_p1 = jnp.maximum(tol_p1, jnp.asarray(tol_override, dtype))
     loop_cfg = dict(
         op=op,
-        tol=jnp.asarray(
-            max(opts.tol, _POLISH_FLOOR) if do_polish else opts.tol, dtype
-        ),
+        tol=tol_p1,
         max_iter=opts.max_iter,
         # Schur-set cap (IpmOptions.schur_cap); the f64 polish phase lifts
         # it (cap=0) so nothing blocks strict-tolerance dual accuracy
@@ -1094,11 +1112,17 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
             ),
             dtype,
         )
-        loop_cfg["tol"] = jnp.asarray(opts.tol, dtype)
+        tol_p2 = jnp.asarray(opts.tol, dtype)
+        if tol_override is not None:
+            # the inexact-SQP relaxation applies to BOTH phases: a lane the
+            # driver only wants solved loosely must not pay f64 iterations
+            # chasing the strict target
+            tol_p2 = jnp.maximum(tol_p2, jnp.asarray(tol_override, dtype))
+        loop_cfg["tol"] = tol_p2
         loop_cfg["max_iter"] = opts.max_iter + opts.polish_iters
         loop_cfg["cap"] = 0
         loop_cfg["guard"] = False
-        tol_s = jnp.asarray(opts.tol, dtype)
+        tol_s = tol_p2
         strict = jnp.logical_and(
             st["pri_res"] < tol_s,
             jnp.logical_and(st["dual_res"] < tol_s, st["gap"] < tol_s),

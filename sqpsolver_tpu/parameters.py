@@ -75,6 +75,17 @@ class Parameters:
     #: trips, so the saving compounds.  The SOC correction QP additionally
     #: warm-starts from the QP it corrects.  Cold starts everywhere when off.
     qp_warm_start: bool = True
+    #: inexact-SQP forcing sequence: each QP subproblem is solved to
+    #: max(qp_tol, this factor * current outer KKT error, capped at 1e-3)
+    #: instead of the full tolerance — iterations far from a KKT point get
+    #: cheap loose QPs, the tolerance tightens automatically as the outer
+    #: error shrinks.  0 (default) disables: loose QPs measurably degrade
+    #: the LS driver (multipliers replaced outright from loose duals) and
+    #: SLP/maximize modes (LP steps need boundary accuracy), and buy only
+    #: ~8-12% fewer IPM iterations on the exact-Hessian ACOPF battery once
+    #: warm starts are on.  Opt in (e.g. 0.05) for TR+exact-Hessian
+    #: throughput runs.
+    qp_tol_adaptive: float = 0.0
     #: compute dtype: "float64" or "float32"
     dtype: str = "float64"
     #: KKT linear-solve policy: "direct" (Cholesky in compute dtype),

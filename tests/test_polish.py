@@ -101,3 +101,17 @@ def test_slp_mode(name):
         res.obj_val, prob.f_star, rtol=1e-3, atol=1e-5,
         err_msg=f"{name} SLP objective mismatch",
     )
+
+
+@pytest.mark.parametrize("name", ["hs071", "hs100"])
+def test_adaptive_qp_tol_optin(name):
+    """Inexact-SQP forcing sequence (qp_tol_adaptive>0): loose early QPs
+    with the tolerance tightening as the outer error shrinks still reach the
+    optimum on exact-Hessian TR runs (the validated opt-in scope)."""
+    prob = hs.hs_problem(name)
+    res = sqp.optimize(
+        prob.nlp,
+        sqp.Parameters(max_iter=300, OutputFlag=0, qp_tol_adaptive=0.05),
+    )
+    assert res.success, res.status_name
+    np.testing.assert_allclose(res.obj_val, prob.f_star, rtol=1e-4, atol=1e-6)
