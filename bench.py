@@ -19,8 +19,41 @@ Environment knobs:
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+
+def _supervise():
+    """Run the measurement in a child process; fall back to the proven-safe
+    configuration if the fast one dies.
+
+    The axon TPU tunnel kills a faulting program with a generic
+    "UNAVAILABLE: TPU device error" that takes the whole process down and can
+    leave the in-process TPU client unusable — recovery has to happen across
+    a process boundary.  Measured on v5e (round 2): mixed_plane at batch 32
+    faults deterministically while the same program at batch 1 and
+    mixed_ir+eigh at batch 32 both pass, so a config-level fallback ladder is
+    the difference between a bench number and no bench number.
+    """
+    ladders = [
+        {},  # env as given (defaults below)
+        {"SQP_BENCH_PREC": "mixed_ir", "SQP_BENCH_SHIFT": "eigh"},
+    ]
+    for i, overrides in enumerate(ladders):
+        env = dict(os.environ, SQP_BENCH_WORKER="1", **overrides)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env)
+        if r.returncode == 0:
+            return 0
+        print(f"bench attempt {i} failed (rc={r.returncode}); "
+              f"falling back" if i + 1 < len(ladders) else "bench failed",
+              file=sys.stderr, flush=True)
+    return 1
+
+
+if __name__ == "__main__" and os.environ.get("SQP_BENCH_WORKER") != "1":
+    sys.exit(_supervise())
 
 import jax
 
@@ -81,12 +114,14 @@ def main():
         tol_residual=1.0e-4,
         qp_max_iter=30,
         dtype=dtype,
-        # measured on-chip (scripts/profile_qp118.py): the f32 matrix plane
-        # with explicit inverse factors + 2 refinement sweeps is ~2.7x the
-        # per-iteration QP speed of mixed_ir at b=16, and the shifted power
-        # iteration replaces an 84 ms batched eigh with ~4 ms of matvecs
-        kkt_precision=os.environ.get("SQP_BENCH_PREC", "mixed_plane"),
-        hessian_shift=os.environ.get("SQP_BENCH_SHIFT", "power"),
+        # measured on-chip (v5e, real case30 b32, round 2): mixed_ir 50.2
+        # iter/s vs mixed_plane 46.9 — the plane's per-QP-iteration advantage
+        # (2.7x at case118 sizes, scripts/profile_qp118.py) does not carry
+        # down to 143-dim KKT systems.  hessian_shift="power" (the Lanczos
+        # bound) FAULTS the axon device at batch 32 (deterministic, passes at
+        # batch 1 — see scripts/tpu_smoke.py); "eigh" runs everywhere.
+        kkt_precision=os.environ.get("SQP_BENCH_PREC", "mixed_ir"),
+        hessian_shift=os.environ.get("SQP_BENCH_SHIFT", "eigh"),
         kkt_ir_steps=int(os.environ.get("SQP_BENCH_IR", "2")),
         schur_cap=int(os.environ.get("SQP_BENCH_SCHUR_CAP", "-1")),
         kkt_structured=structured,
