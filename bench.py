@@ -10,11 +10,18 @@ a-time execution model, sqp_trust_region.jl:124 — the reference itself
 publishes no numbers, BASELINE.md).
 
 Environment knobs:
-  SQP_BENCH_CASE   bus count of the synthetic network   (default 30)
-  SQP_BENCH_BATCH  instance batch size                  (default 32)
-  SQP_BENCH_DTYPE  float64 | float32                    (default float64;
-                   the KKT factorization runs in float32 via mixed_ir)
-  SQP_BENCH_PREC   direct | mixed_ir                     (default mixed_ir)
+  SQP_BENCH_CASE    bus count (5/14/30/118 = vendored MATPOWER data; 9 =
+                    built-in; multiples of 30 = case30 replicas; else
+                    synthetic)                          (default 30)
+  SQP_BENCH_BATCH   instance batch size                 (default 32)
+  SQP_BENCH_DTYPE   float64 | float32                   (default float64;
+                    the KKT factorization runs in float32 via mixed_ir)
+  SQP_BENCH_PREC    direct | mixed_ir | mixed_plane | mixed_polish
+                                                        (default mixed_ir)
+  SQP_BENCH_SHIFT   eigh | power | gershgorin           (default eigh)
+  SQP_BENCH_STRUCTURED  1 = block-structured (BBD) KKT path
+  SQP_BENCH_WORKER  1 = run the measurement in-process (bypass the
+                    supervisor child process / fallback ladder)
 """
 
 import json
@@ -36,18 +43,22 @@ def _supervise():
     mixed_ir+eigh at batch 32 both pass, so a config-level fallback ladder is
     the difference between a bench number and no bench number.
     """
-    ladders = [
-        {},  # env as given (defaults below)
-        {"SQP_BENCH_PREC": "mixed_ir", "SQP_BENCH_SHIFT": "eigh"},
-    ]
+    safe = {"SQP_BENCH_PREC": "mixed_ir", "SQP_BENCH_SHIFT": "eigh",
+            "SQP_BENCH_STRUCTURED": "0", "SQP_BENCH_CASE": "30"}
+    ladders = [{}]
+    # only append the fallback rung when it actually changes the config —
+    # otherwise a genuine (non-config) failure would be re-run verbatim
+    if any(os.environ.get(k, v) != v for k, v in safe.items()):
+        ladders.append(safe)
     for i, overrides in enumerate(ladders):
         env = dict(os.environ, SQP_BENCH_WORKER="1", **overrides)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env)
         if r.returncode == 0:
             return 0
-        print(f"bench attempt {i} failed (rc={r.returncode}); "
-              f"falling back" if i + 1 < len(ladders) else "bench failed",
+        print((f"bench attempt {i} failed (rc={r.returncode}); falling back"
+               if i + 1 < len(ladders)
+               else f"bench failed (rc={r.returncode})"),
               file=sys.stderr, flush=True)
     return 1
 
@@ -90,7 +101,7 @@ def main():
     # item 3); multiples of 30 are interconnected replicas of the validated
     # case30 (real physics at case118/case300 scale, models/power.py
     # replicate_case); other sizes use the seeded synthetic generator
-    if nbus in (5, 14, 30):
+    if nbus in (5, 14, 30, 118):
         from sqpsolver_tpu.models.matpower import load_case
 
         case = load_case(f"case{nbus}")

@@ -5,10 +5,12 @@ The axon TPU tunnel intermittently kills programs with a generic
 solve path so a fault can be attributed to a component instead of the whole
 bench.  Usage:
 
-    python scripts/tpu_smoke.py [stage]
+    python scripts/tpu_smoke.py [stage] [batch] [precision] [shift]
 
-stage in {matmul, chol, qp_ir, qp_plane, sqp1, all} (default: all).
-Each stage prints PASS/FAIL and timing.
+stage in {matmul, chol, qp_ir, qp_plane, sqp1, sqp32, all} (default: all).
+The sqp rungs take optional positional overrides (defaults reproduce the
+round-2 fault isolation: sqp1 = batch 1, sqp32 = batch 32, both
+mixed_plane + power shift).  Each stage prints PASS/FAIL and timing.
 """
 
 import os
@@ -112,7 +114,23 @@ def main():
         "qp_ir": stage_qp_ir,
         "qp_plane": stage_qp_plane,
         "sqp1": stage_sqp1,
+        # the rung that reproduced the round-2 device fault: batch 32
+        "sqp32": lambda **kw: stage_sqp1(**{"batch": 32, **kw}),
     }
+    if which not in stages and which != "all":
+        print(f"unknown stage {which!r}; valid: "
+              f"{', '.join([*stages, 'all'])}", file=sys.stderr)
+        sys.exit(2)
+    # optional positional overrides for the sqp rungs:
+    #   tpu_smoke.py sqp1 <batch> <precision> <shift>
+    kw = {}
+    if which.startswith("sqp"):
+        if len(sys.argv) > 2:
+            kw["batch"] = int(sys.argv[2])
+        if len(sys.argv) > 3:
+            kw["precision"] = sys.argv[3]
+        if len(sys.argv) > 4:
+            kw["shift"] = sys.argv[4]
     if which == "all":
         ok = True
         for name, fn in stages.items():
@@ -120,7 +138,8 @@ def main():
             if not ok:
                 break
         sys.exit(0 if ok else 1)
-    _run(which, stages[which]) or sys.exit(1)
+    fn = stages[which]
+    _run(which, (lambda: fn(**kw)) if kw else fn) or sys.exit(1)
 
 
 if __name__ == "__main__":

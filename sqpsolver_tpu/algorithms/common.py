@@ -61,11 +61,16 @@ def lanczos_lmin_bound(h_mv, n: int, dtype, iters: int = 40):
         + jnp.diag(betas[:-1], 1)
         + jnp.diag(betas[:-1], -1)
     )
-    evals, evecs = jnp.linalg.eigh(T)
+    # the tiny (iters x iters) eigendecomposition runs in float32: a f64 eigh
+    # is software-emulated on TPU AND is the op that faulted the axon device
+    # under vmap at batch 32 (round-2 root cause, scripts/tpu_smoke.py);
+    # f32 precision costs ~1e-5 relative on the bound, absorbed by the pad
+    evals, evecs = jnp.linalg.eigh(T.astype(jnp.float32))
     idx = jnp.argmin(evals)
-    theta = evals[idx]
-    resid = betas[-1] * jnp.abs(evecs[-1, idx])
-    return theta - resid
+    theta = evals[idx].astype(dtype)
+    resid = betas[-1] * jnp.abs(evecs[-1, idx]).astype(dtype)
+    pad = 4.0e-7 * jnp.max(jnp.abs(alphas) + 2.0 * betas, initial=0.0)
+    return theta - resid - pad
 
 
 def constraint_violation(E: Array, g_l: Array, g_u: Array) -> Array:

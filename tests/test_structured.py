@@ -160,6 +160,26 @@ def test_structured_requires_structure():
         )
 
 
+def test_structured_case118_published_optimum():
+    """Real IEEE case118 through the BBD structured path hits the published
+    MATPOWER AC-OPF optimum 129660.70 $/h at rtol 1e-4 (VERDICT r2 item 2:
+    the structured path must be proven on a real meshed topology, not just
+    weakly-coupled replicas)."""
+    from sqpsolver_tpu.models.matpower import VENDORED_OPTIMA, load_case
+
+    nlp = acopf_polar(load_case("case118"), scenario_batchable=False)
+    params = sqp.Parameters(
+        max_iter=150, OutputFlag=0, tol_infeas=1e-6, tol_residual=1e-4,
+        use_soc=True, kkt_structured=True,
+    )
+    res = sqp.optimize(nlp, params)
+    assert res.success, res.status_name
+    assert res.prim_infeas < 1e-6
+    np.testing.assert_allclose(
+        float(res.obj_val), VENDORED_OPTIMA["case118"], rtol=1e-4
+    )
+
+
 def test_structured_case30x10_300bus():
     """Real-physics 300-bus solve through the BBD structured path — the
     capability scale of the reference's ma57-backed sparse KKT
