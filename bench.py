@@ -193,6 +193,43 @@ def main():
         f"-> {serial_rate:.1f} iter/s")
 
     vs = batched_rate / serial_rate if serial_rate > 0 else 0.0
+
+    # ---- MFU accounting (VERDICT r2 item 7): analytic FLOPs / wall / peak --
+    from sqpsolver_tpu.algorithms.common import schur_cap_for
+    from sqpsolver_tpu.utils import flops as fl
+
+    qp_iters_total = int(np.asarray(out.qp_iters_total).sum())
+    bbd_dims = None
+    if structured:
+        from sqpsolver_tpu.structure import build_block_structure
+
+        gl = np.asarray(nlp.g_l, np.float64)
+        gu = np.asarray(nlp.g_u, np.float64)
+        bs = build_block_structure(
+            nlp.n, nlp.m, nlp.structure, np.isfinite(gl) & (gl == gu),
+            n_parts=(params.kkt_parts or None),
+        )
+        bbd_dims = (bs.P, bs.nd, bs.ns, bs.mr, bs.m_eq)
+        log(f"bbd dims: P={bs.P} nd={bs.nd} ns={bs.ns} mr={bs.mr} "
+            f"m_eq={bs.m_eq}")
+    fb = fl.total_flops(
+        n=nlp.n, m=nlp.m,
+        sqp_iters_total=total_iters, qp_iters_total=qp_iters_total,
+        hessian_shift=params.hessian_shift, ir_steps=params.kkt_ir_steps,
+        schur_cap=schur_cap_for(params, nlp), bbd_dims=bbd_dims,
+    )
+    peak = fl.chip_peak_bf16(jax.devices()[0]) if platform != "cpu" else 0.0
+    achieved = fb["total"] / t_batched
+    mfu = achieved / peak if peak else 0.0
+    log(f"analytic flops/run: {fb['total']:.3e} "
+        f"({qp_iters_total} IPM trips, {total_iters} SQP iters); "
+        f"breakdown: " + ", ".join(
+            f"{k}={v / fb['total']:.0%}" for k, v in fb.items()
+            if k != "total"))
+    log(f"achieved {achieved / 1e12:.4f} TFLOP/s -> "
+        f"mfu_bf16_peak={mfu:.5f} "
+        f"mfu_f32_eff={mfu * fl.F32_PASSES:.5f}")
+
     print(
         json.dumps(
             {
@@ -200,6 +237,12 @@ def main():
                 "value": round(batched_rate, 2),
                 "unit": "SQP-iter/s",
                 "vs_baseline": round(vs, 2),
+                "mfu": round(mfu, 6),
+                "mfu_f32_eff": round(mfu * fl.F32_PASSES, 6),
+                "analytic_tflops_per_s": round(achieved / 1e12, 4),
+                "case": case.name,
+                "batch": batch,
+                "structured": structured,
             }
         )
     )

@@ -269,6 +269,7 @@ def make_solver(
                     params.kkt_precision.startswith("mixed")
                     and not params.kkt_structured
                     and dtype == jnp.float64
+                    and params.qp_rescue
                 )
                 else 0
             )

@@ -101,6 +101,12 @@ class Parameters:
     kkt_precision: str = "direct"
     #: number of iterative-refinement sweeps for the mixed modes
     kkt_ir_steps: int = 2
+    #: f64 stall-rescue phase for f32-factorized dense modes: a lane whose
+    #: f32 IPM phase exits unconverged continues with exact factors instead
+    #: of failing (zero trips on the happy path).  Off = one fewer traced
+    #: IPM loop in the compiled program (smaller/faster compile), at the
+    #: cost of losing the rescue for barrier-hard lanes.
+    qp_rescue: bool = True
     #: KKT factorization backend: "xla" (jnp.linalg.cholesky) or "pallas"
     #: (blocked Pallas+MXU factorization, ops/chol_blocked.py)
     kkt_backend: str = "xla"
