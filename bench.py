@@ -182,15 +182,20 @@ def main():
     jax.block_until_ready(o.x)  # compile
     t0 = time.time()
     iters_serial = 0
+    serial_status = []
     for i in range(n_serial):
         one = jax.tree.map(lambda a: a[i : i + 1], data)
         o = serial_solver(one)
         jax.block_until_ready(o.x)
         iters_serial += int(np.asarray(o.iterations).sum())
+        serial_status.append(int(np.asarray(o.status)[0]))
     t_serial = time.time() - t0
     serial_rate = iters_serial / t_serial
     log(f"serial: {iters_serial} SQP iters in {t_serial:.3f}s "
-        f"-> {serial_rate:.1f} iter/s")
+        f"-> {serial_rate:.1f} iter/s  status={serial_status}")
+    if not all(s in (0, 1, 6) for s in serial_status):
+        log("WARNING: serial baseline lanes did not converge - "
+            "vs_baseline is not meaningful")
 
     vs = batched_rate / serial_rate if serial_rate > 0 else 0.0
 

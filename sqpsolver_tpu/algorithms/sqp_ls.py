@@ -255,13 +255,18 @@ def make_ls_solver(
         hard_slack = jnp.max(
             jnp.where(hard, sol.slack_u + sol.slack_v, 0.0), initial=0.0
         )
-        infeasible = hard_slack > params.qp_infeas_tol
         rough = jnp.sqrt(jnp.asarray(qp_tol_eff, dtype))
-        qp_bad = jnp.logical_and(
+        rough_exit = jnp.logical_and(
             ~sol.converged,
             jnp.logical_or(sol.pri_res > rough, sol.dual_res > rough),
         )
-        return sol, infeasible, jnp.logical_and(qp_bad, ~infeasible)
+        # slack mass certifies infeasibility only on a non-rough QP exit
+        # (see sqp_tr.solve_subproblem: a rough f32 exit leaves arbitrary
+        # slack values; it goes down the stalled-QP path instead)
+        infeasible = jnp.logical_and(
+            hard_slack > params.qp_infeas_tol, ~rough_exit
+        )
+        return sol, infeasible, jnp.logical_and(rough_exit, ~infeasible)
 
     def emit_log(st: LsState):
         if not log_iters:

@@ -557,14 +557,25 @@ def make_solver(
         hard_slack = jnp.max(
             jnp.where(hard, sol.slack_u + sol.slack_v, 0.0), initial=0.0
         )
-        infeasible = hard_slack > params.qp_infeas_tol
         # "unexpected status" analog: IPM stopped far from a solution
         rough = jnp.sqrt(jnp.asarray(qp_tol_eff, dtype))
-        qp_bad = jnp.logical_and(
+        rough_exit = jnp.logical_and(
             ~sol.converged,
             jnp.logical_or(sol.pri_res > rough, sol.dual_res > rough),
         )
-        qp_bad = jnp.logical_and(qp_bad, ~infeasible)
+        # slack mass certifies an inconsistent linearization ONLY when the
+        # elastic QP actually solved: the elastic form is always feasible, so
+        # a converged-with-slack exit is a genuine certificate, while a rough
+        # f32 exit leaves arbitrary slack values behind.  Treating the latter
+        # as "infeasible" sent transiently-stalled lanes into FR and out with
+        # a false status 2 (observed: structured case30 at batch 1 on TPU —
+        # batch-size-dependent f32 rounding flips a marginal IPM trajectory;
+        # the same lane converges at batch 8).  A rough exit goes down the
+        # stalled-QP retry path instead (TR halved, _QP_BAD_MAX cap).
+        infeasible = jnp.logical_and(
+            hard_slack > params.qp_infeas_tol, ~rough_exit
+        )
+        qp_bad = jnp.logical_and(rough_exit, ~infeasible)
         return sol, infeasible, qp_bad
 
     def solve_soc(st: SqpState, E_trial, d: NLPData, H_qp, try_soc, duals):

@@ -76,4 +76,10 @@ def summarize_batch(raw: SqpResult) -> dict:
         "iterations_mean": float(np.asarray(raw.iterations).mean()),
         "prim_infeas_max": float(np.asarray(raw.prim_infeas).max()),
         "obj_mean": float(np.asarray(raw.obj_val).mean()),
+        # where the iterations went (per-batch totals): rejected steps, FR
+        # entries, accepted second-order corrections, total IPM trips
+        "n_reject": int(np.asarray(raw.n_reject).sum()),
+        "n_fr": int(np.asarray(raw.n_fr_iters).sum()),
+        "n_soc": int(np.asarray(raw.n_soc_accept).sum()),
+        "qp_trips": int(np.asarray(raw.qp_iters_total).sum()),
     }

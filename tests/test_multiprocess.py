@@ -26,8 +26,10 @@ jax.distributed.initialize(
 )
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
+import numpy as np
 import sqpsolver_tpu as sqp
-from sqpsolver_tpu.models.toy import toy_nlp
+from sqpsolver_tpu.models.acopf import acopf_polar, load_scenarios
+from sqpsolver_tpu.models.power import case9
 from sqpsolver_tpu.parallel import multihost as mh
 from sqpsolver_tpu.parallel import sharding as shd
 from sqpsolver_tpu.parallel.batch import batch_data
@@ -35,16 +37,30 @@ from sqpsolver_tpu.parallel.batch import batch_data
 assert jax.process_count() == 2, jax.process_count()
 assert jax.device_count() == 4, jax.device_count()
 mesh = mh.global_instance_mesh()
-nlp = toy_nlp()
-params = sqp.Parameters(max_iter=30, OutputFlag=0)
-data = batch_data(nlp, 4, dtype=jnp.float64)
+# ACOPF scenario fleet (VERDICT r2 item 8: beyond toys): a GLOBAL batch of 4
+# case9 load scenarios; each host feeds its contiguous local slice of 2
+case = case9()
+nlp = acopf_polar(case)
+theta = np.asarray(load_scenarios(case, 4, seed=7, spread=0.03))
+params = sqp.Parameters(
+    max_iter=40, OutputFlag=0, tol_infeas=1e-6, tol_residual=1e-4,
+    init_projection="off",
+)
+data = batch_data(nlp, 2, theta=theta[pid * 2 : (pid + 1) * 2],
+                  dtype=jnp.float64)
 data = mh.host_local_batch(data, mesh)
 solver = shd.make_sharded_solver(nlp, params, mesh)
 out = solver(data)
 census = mh.convergence_census(out.status)
-# each of the 2 hosts contributes its local batch of 4 -> global batch 8
-assert census["n_total"] == 8, census
-assert census["n_done_ok"] == 8, census
+# each of the 2 hosts contributes its local batch of 2 -> global batch 4
+assert census["n_total"] == 4, census
+assert census["n_done_ok"] == 4, census
+# objective sanity on the host-local lanes: case9 nominal optimum is
+# 5296.69 $/h; +-3% load scenarios stay within ~15%
+obj_local = np.asarray(
+    [s.data for s in out.obj_val.addressable_shards]
+).reshape(-1)
+assert np.all(np.abs(obj_local / 5296.69 - 1.0) < 0.15), obj_local
 print(f"MPOK {pid}", flush=True)
 """
 
