@@ -205,7 +205,9 @@ def main():
 
     qp_iters_total = int(np.asarray(out.qp_iters_total).sum())
     bbd_dims = None
+    shift_eff = params.hessian_shift
     if structured:
+        from sqpsolver_tpu.ops.kkt_bbd import part_schur_cap
         from sqpsolver_tpu.structure import build_block_structure
 
         gl = np.asarray(nlp.g_l, np.float64)
@@ -214,14 +216,20 @@ def main():
             nlp.n, nlp.m, nlp.structure, np.isfinite(gl) & (gl == gu),
             n_parts=(params.kkt_parts or None),
         )
-        bbd_dims = (bs.P, bs.nd, bs.ns, bs.mr, bs.m_eq)
+        n_schur = bs.P * part_schur_cap(bs)
+        bbd_dims = (bs.P, bs.nd, bs.ns, bs.mr, n_schur)
+        shift_eff = "power"  # the structured path always uses the Lanczos bound
         log(f"bbd dims: P={bs.P} nd={bs.nd} ns={bs.ns} mr={bs.mr} "
-            f"m_eq={bs.m_eq}")
+            f"m_eq={bs.m_eq} n_schur={n_schur}")
     fb = fl.total_flops(
         n=nlp.n, m=nlp.m,
         sqp_iters_total=total_iters, qp_iters_total=qp_iters_total,
-        hessian_shift=params.hessian_shift, ir_steps=params.kkt_ir_steps,
+        hessian_shift=shift_eff,
+        # BbdOperator floors its inner refinement at max(2, kkt_ir_steps)
+        ir_steps=(max(2, params.kkt_ir_steps) if structured
+                  else params.kkt_ir_steps),
         schur_cap=schur_cap_for(params, nlp), bbd_dims=bbd_dims,
+        shift_iters=params.hessian_shift_iters,
     )
     peak = fl.chip_peak_bf16(jax.devices()[0]) if platform != "cpu" else 0.0
     achieved = fb["total"] / t_batched

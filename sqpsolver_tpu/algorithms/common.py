@@ -18,6 +18,7 @@ reference's residual formula ``df + Jac' * lambda + mult_x_U - mult_x_L``
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from jax import Array, lax
@@ -37,7 +38,14 @@ def lanczos_lmin_bound(h_mv, n: int, dtype, iters: int = 40):
     convexification then hands the IPM a *nonconvex* QP that cannot converge
     (observed: case9/case118 lanes failing with status -3).
     """
-    v0 = jnp.ones((n,), dtype) + jnp.arange(n, dtype=dtype) / n
+    # deterministic GAUSSIAN start: overlap ~1/sqrt(n) with EVERY
+    # eigenvector whp.  The previous near-uniform ramp start was almost
+    # orthogonal (2.6e-3 overlap) to copy-antisymmetric eigenvectors of
+    # replicated/symmetric problems — on a 10-copy network the "bound"
+    # missed lambda_min by 2.2x (-6.7 vs -14.5), the convexification
+    # under-shifted, and the QP solvers received an INDEFINITE K (the
+    # regularization ladders then solved a heavily damped wrong system).
+    v0 = jax.random.normal(jax.random.PRNGKey(20240819), (n,), dtype)
     v0 = v0 / jnp.linalg.norm(v0)
 
     def step(carry, _):

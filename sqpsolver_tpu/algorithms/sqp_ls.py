@@ -180,7 +180,10 @@ def make_ls_solver(
             # sigma I - H under-estimates clustered negative eigenvalues)
             from .common import lanczos_lmin_bound
 
-            lmin = lanczos_lmin_bound(lambda vv: H @ vv, n, dtype, iters=40)
+            lmin = lanczos_lmin_bound(
+                lambda vv: H @ vv, n, dtype,
+                iters=(params.hessian_shift_iters or min(n, 64)),
+            )
         else:
             # f32 is ample precision for a convexification bound, and f64
             # eigendecompositions are software-emulated on TPU; pad the

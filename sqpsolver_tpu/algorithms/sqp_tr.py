@@ -255,19 +255,23 @@ def make_solver(
             3.0e-7 if (params.kkt_structured or schur_cap) else 0.0
         ),
         # mixed_polish: 20 f64 iterations to close the floor->tol gap.
-        # All other dense f32-factorized modes: 8 f64 STALL-RESCUE
-        # iterations — a lane whose f32 phase exits unconverged (barrier/
-        # high-penalty KKT past f32's conditioning range) continues with
-        # exact factors instead of failing; costs zero trips when every
-        # lane converged in the f32 phase (qp_ipm.IpmOptions.polish_iters)
+        # All other f32-factorized modes (dense mixed AND structured BBD —
+        # both backends supply a full-precision rescue_op): 8 f64
+        # STALL-RESCUE iterations — a lane whose f32 phase exits unconverged
+        # (barrier/high-penalty KKT past f32's conditioning range) continues
+        # with exact factors instead of failing; costs zero trips when every
+        # lane converged in the f32 phase (qp_ipm.IpmOptions.polish_iters).
+        # Without this the structured path was a knife-edge: case118's FR
+        # QP at the flat start flipped between solving and stalling on a 6%
+        # change in the convexification shift (Lanczos 40 vs 64 steps).
         polish_iters=(
             20
             if polish
             else (
                 8
                 if (
-                    params.kkt_precision.startswith("mixed")
-                    and not params.kkt_structured
+                    (params.kkt_precision.startswith("mixed")
+                     or params.kkt_structured)
                     and dtype == jnp.float64
                     and params.qp_rescue
                 )
@@ -448,7 +452,8 @@ def make_solver(
             # under-estimated clustered negative eigenvalues several-fold,
             # handing the IPM nonconvex QPs (see common.lanczos_lmin_bound).
             lmin = lanczos_lmin_bound(
-                lambda vv: hess_mv(H, vv), n, dtype, iters=40
+                lambda vv: hess_mv(H, vv), n, dtype,
+                iters=(params.hessian_shift_iters or min(n, 64)),
             )
         else:
             # f32 is ample precision for a convexification bound, and f64
@@ -557,23 +562,38 @@ def make_solver(
         hard_slack = jnp.max(
             jnp.where(hard, sol.slack_u + sol.slack_v, 0.0), initial=0.0
         )
-        # "unexpected status" analog: IPM stopped far from a solution
+        # "unexpected status" analog: IPM stopped far from a solution.  The
+        # PRIMAL residual is the usability bar (a step violating its own
+        # linearization poisons the merit line); the DUAL residual gets a
+        # much looser cutoff — near-degenerate endgame QPs (active-set ties
+        # at the TR boundary) stall with pri ~1e-12 but dual ~1e-3 on any
+        # backend, and such a step is still an excellent primal step whose
+        # multiplier noise the merit test and the dual-growth clamp already
+        # bound.  Requiring dual < sqrt(tol) here put the structured case118
+        # endgame on a knife-edge: its stalls sat at 1.5e-3 vs the dense
+        # backend's 5e-5 against a 1e-4 bar, turning a backend-precision
+        # nuance into Error_In_Step_Computation (PARITY.md #13/#14 family).
         rough = jnp.sqrt(jnp.asarray(qp_tol_eff, dtype))
+        rough_dual = jnp.maximum(rough, jnp.asarray(3e-2, dtype))
         rough_exit = jnp.logical_and(
             ~sol.converged,
-            jnp.logical_or(sol.pri_res > rough, sol.dual_res > rough),
+            jnp.logical_or(sol.pri_res > rough, sol.dual_res > rough_dual),
         )
         # slack mass certifies an inconsistent linearization ONLY when the
         # elastic QP actually solved: the elastic form is always feasible, so
-        # a converged-with-slack exit is a genuine certificate, while a rough
-        # f32 exit leaves arbitrary slack values behind.  Treating the latter
-        # as "infeasible" sent transiently-stalled lanes into FR and out with
-        # a false status 2 (observed: structured case30 at batch 1 on TPU —
-        # batch-size-dependent f32 rounding flips a marginal IPM trajectory;
-        # the same lane converges at batch 8).  A rough exit goes down the
-        # stalled-QP retry path instead (TR halved, _QP_BAD_MAX cap).
+        # a converged-with-slack exit is a genuine certificate, while an
+        # unconverged exit leaves arbitrary slack values behind.  Treating
+        # the latter as "infeasible" sent transiently-stalled lanes into FR
+        # and out with a false status 2 (observed: structured case30 at
+        # batch 1 on TPU — batch-size-dependent f32 rounding flips a
+        # marginal IPM trajectory; the same lane converges at batch 8.  And
+        # again on structured case118 near convergence: an exit at max_iter
+        # with residuals below sqrt(tol) — hence not "rough" — but phantom
+        # slack ~1e-6 sent an inf_pr=2e-4 iterate into FR, which then
+        # stalled at |p|=0).  Anything unconverged goes down the stalled-QP
+        # retry path instead (TR halved, _QP_BAD_MAX cap).
         infeasible = jnp.logical_and(
-            hard_slack > params.qp_infeas_tol, ~rough_exit
+            hard_slack > params.qp_infeas_tol, sol.converged
         )
         qp_bad = jnp.logical_and(rough_exit, ~infeasible)
         return sol, infeasible, qp_bad

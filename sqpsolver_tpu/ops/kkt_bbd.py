@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .linsolve import tri_inv
+from .linsolve import factorize_spd, solve_factorized, tri_inv
 
 Array = jax.Array
 
@@ -53,12 +53,15 @@ class BbdFactor(NamedTuple):
     ok: Array
 
 
-def bbd_factorize(K_pp: Array, K_ps: Array, K_ss: Array, delta0) -> BbdFactor:
+def bbd_factorize(
+    K_pp: Array, K_ps: Array, K_ss: Array, delta0, min_pivot: float = 1e-3
+) -> BbdFactor:
     """Factor the BBD matrix with the escalating-regularization ladder.
 
-    Inputs are float32 blocks; padded interior slots must carry an identity
-    diagonal and zero couplings (the assembly in :class:`BbdOperator` does
-    this via the structural masks).
+    Inputs are factor-dtype blocks (float32 normally; float64 in the rescue
+    phase, with ``min_pivot`` relaxed accordingly); padded interior slots
+    must carry an identity diagonal and zero couplings (the assembly in
+    :class:`BbdOperator` does this via the structural masks).
     """
     P, nd, _ = K_pp.shape
     ns = K_ss.shape[0]
@@ -72,7 +75,9 @@ def bbd_factorize(K_pp: Array, K_ps: Array, K_ss: Array, delta0) -> BbdFactor:
         ),
         1.0,
     )
-    delta_floor = diag_scale * jnp.asarray(1e-7, f32)
+    delta_floor = diag_scale * jnp.asarray(
+        1e-7 if f32 == jnp.float32 else 1e-12, f32
+    )
     delta0 = jnp.asarray(delta0, f32)
 
     def attempt(delta):
@@ -97,7 +102,7 @@ def bbd_factorize(K_pp: Array, K_ps: Array, K_ss: Array, delta0) -> BbdFactor:
             jnp.min(jnp.diagonal(L_pp, axis1=-2, axis2=-1), initial=jnp.inf),
             jnp.min(jnp.diagonal(L_ss), initial=jnp.inf),
         )
-        ok = jnp.logical_and(ok, piv > 1e-3)
+        ok = jnp.logical_and(ok, piv > min_pivot)
         return L_pp, W, L_ss, dS, ok
 
     L_pp0, W0, L_ss0, dS0, ok0 = attempt(delta0)
@@ -193,9 +198,6 @@ class BlockMaps:
         self.colJ_sep = jnp.asarray(bs.colorJ[bs.sep_idx])  # (ns,)
         self.colH_int = jnp.asarray(colorH_p[bs.int_idx])
         self.colH_sep = jnp.asarray(bs.colorH[bs.sep_idx])
-        self.eq_local = jnp.asarray(bs.eq_local)  # (P, mre), pad = mr
-        self.eq_gidx = jnp.asarray(bs.eq_gidx)  # (P, mre), pad = m_eq
-        self.eq_order = jnp.asarray(bs.eq_order)  # (m_eq,)
         self.is_eq = jnp.asarray(bs.is_eq)  # (m,)
 
     def shard_p(self, x):
@@ -332,23 +334,6 @@ class BlockMaps:
         sq = jnp.sum(A_int * A_int, axis=2) + jnp.sum(A_sep * A_sep, axis=2)
         return jnp.sqrt(self.rows_scatter(sq))
 
-    # ------------------------------------------------------- eq-row maps --
-    def gather_eq(self, blocks):
-        """Per-part row blocks (P, mr, k) -> eq rows (P, mre, k)."""
-        padded = jnp.concatenate(
-            [blocks, jnp.zeros_like(blocks[:, :1])], axis=1
-        )
-        P = self.bs.P
-        return padded[jnp.arange(P)[:, None], self.eq_local]
-
-    def eq_dense(self, y):
-        """(m,) -> (m_eq,) dense eq ordering."""
-        return y[self.eq_order]
-
-    def eq_scatter(self, y_eq):
-        """(m_eq,) -> (m,), zeros elsewhere."""
-        out = jnp.zeros((self.bs.m,), y_eq.dtype)
-        return out.at[self.eq_order].set(y_eq)
 
 
 # --------------------------------------------------------------------------
@@ -356,18 +341,37 @@ class BlockMaps:
 # --------------------------------------------------------------------------
 
 
+_BIG = 1e20  # stand-in for +inf inside masked arithmetic (qp_ipm._BIG)
+
+
+def part_schur_cap(bs) -> int:
+    """Static per-part stiff-slot count of the dynamic Schur set: every
+    equality slot plus headroom for active inequalities (the dense
+    schur_cap heuristic, common.schur_cap_for, applied part-locally),
+    rounded to a lane-friendly multiple of 8.  The global Schur block is
+    (P * part_schur_cap, P * part_schur_cap)."""
+    hp = max(8, (bs.mr - bs.mre + 3) // 4)
+    return min(bs.mr, ((bs.mre + hp + 7) // 8) * 8)
+
+
 class BbdOperator:
     """Structured stand-in for the dense (Q, A) pair inside the elastic IPM.
 
     Implements the same interface as ``qp_ipm.DenseOp`` — ``q_mv``/``a_mv``/
-    ``a_rmv`` matvecs, ``stiff_allowed``, ``prepare`` — with the Jacobian and
-    Lagrangian Hessian in padded local-dense block form.  ONE IPM, two
-    linear-algebra backends.
+    ``a_rmv`` matvecs, ``stiff_allowed``/``cap_stiff``, ``prepare`` — with
+    the Jacobian and Lagrangian Hessian in padded local-dense block form.
+    ONE IPM, two linear-algebra backends.
 
-    Stiff (Schur-path) rows are restricted to the *static* equality set so
-    the dense Schur complement stays (m_eq, m_eq); near-active inequality
-    rows condense into K with their true (large) ``1/E`` and the float64
-    block-level refinement bounds the resulting conditioning error.
+    Stiff (Schur-path) rows are selected **dynamically per part** into a
+    static number of part-local slots (``cap_p``): each part contributes its
+    cap_p stiffest rows (equalities plus near-active inequalities), so the
+    dense Schur complement is (P*cap_p, P*cap_p) with part-major ordering.
+    An earlier design restricted the Schur set to the *static* equality rows
+    and folded active inequalities into K through a floored ``1/E`` — the
+    floor's softening error made QP steps miss the merit-model's prediction
+    and ~40% of SQP steps were rejected (case30 b8: 18.9 mean SQP iters vs
+    the dense hybrid's 11.1); with actives in the Schur set the floor only
+    touches overflow rows and the step quality matches the dense path.
     """
 
     def __init__(self, maps: BlockMaps, J, H, opts):
@@ -375,14 +379,31 @@ class BbdOperator:
         self.J = J  # (A_int, A_sep) compute dtype
         self.H = H  # (H_pp, H_ps, H_ss)
         self.opts = opts
-        # the static-eq Schur set folds *active* inequality rows into K with
-        # bounded 1/E — harder systems than the dense hybrid's; four sweeps
-        # (matvec-cheap) keep the solve usable through barrier-tight iterates
-        self.ir_steps = max(4, opts.ir_steps)
         self.dtype = J[0].dtype
-        f32 = jnp.float32
-        self.J32 = jax.tree.map(lambda a: a.astype(f32), J)
-        self.H32 = jax.tree.map(lambda a: a.astype(f32), H)
+        # factor dtype follows IpmOptions.factor_dtype like DenseOp: f32 MXU
+        # factors + refinement normally, full-precision factors in the f64
+        # stall-rescue phase (rescue_op)
+        self.fdtype = (
+            jnp.float32 if opts.factor_dtype == "float32" else self.dtype
+        )
+        # inner refinement sweeps per K/S application, same meaning as the
+        # dense hybrid's ir_steps (refined solves, no outer block sweep).
+        # Kept in full-precision mode too: equilibrated f64 factors of
+        # cond ~1e14 barrier systems still benefit from ~2 sweeps.
+        self.ir_steps = max(2, opts.ir_steps)
+        self.Jf = jax.tree.map(lambda a: a.astype(self.fdtype), J)
+        self.Hf = jax.tree.map(lambda a: a.astype(self.fdtype), H)
+        self.cap_p = part_schur_cap(maps.bs)
+
+    def rescue_op(self):
+        """Same blocks, full-precision factors — the structured analog of the
+        dense stall-rescue swap (qp_ipm._solve_qp_impl do_polish block)."""
+        import dataclasses
+
+        return BbdOperator(
+            self.maps, self.J, self.H,
+            dataclasses.replace(self.opts, factor_dtype="same", plane=False),
+        )
 
     def q_mv(self, x):
         return self.maps.h_mv(self.H, x)
@@ -394,19 +415,38 @@ class BbdOperator:
         return self.maps.j_rmv(self.J, y)
 
     def stiff_allowed(self):
-        return self.maps.is_eq
+        return jnp.ones((self.maps.bs.m,), bool)
+
+    def cap_stiff(self, stiff, E, cap):
+        """Per-part bounded stiff set: keep each part's ``cap_p`` stiffest
+        rows (smallest E — equalities sort first by construction).  The
+        static per-part cap keeps the Schur block at (P*cap_p, P*cap_p) and
+        the selection part-local (shardable over the part axis); overflow
+        rows fold into K via the bounded 1/E exactly like the dense hybrid's
+        schur_cap overflow.  The IPM's ``cap`` argument (global schur_cap)
+        does not apply to the structured backend."""
+        maps = self.maps
+        st_p = maps.rows_gather(stiff)  # (P, mr), padding False
+        E_p = maps.rows_gather(E)
+        key = jnp.where(st_p, E_p, _BIG)
+        _, sel = lax.top_k(-key, self.cap_p)
+        keep = jnp.zeros_like(st_p).at[
+            jnp.arange(maps.bs.P)[:, None], sel
+        ].set(jnp.take_along_axis(st_p, sel, axis=1))
+        return jnp.logical_and(stiff, maps.rows_scatter(keep))
 
     def prepare(self, diag_k, invE_soft, stiff, E_stiff, delta0):
-        """Assemble + factor the BBD K and the dense equality Schur
+        """Assemble + factor the BBD K and the dense stiff Schur
         complement; return ``(solve_block, delta)``."""
         maps = self.maps
         bs = maps.bs
-        f32 = jnp.float32
+        f32 = self.fdtype  # factor dtype (f32 normally, f64 in rescue)
+        mixed = self.fdtype != self.dtype
         dtype = self.dtype
-        A_int32, A_sep32 = self.J32
-        H_pp32, H_ps32, H_ss32 = self.H32
+        A_int32, A_sep32 = self.Jf
+        H_pp32, H_ps32, H_ss32 = self.Hf
 
-        # ---- K blocks: H + diag(diag_k) + A' diag(invE) A (float32) -------
+        # ---- K blocks: H + diag(diag_k) + A' diag(invE) A (factor dtype) --
         d_p, d_s = maps.to_blocks(diag_k.astype(f32))
         e_rows = maps.rows_gather(invE_soft.astype(f32))  # (P, mr)
         AeI = A_int32 * e_rows[:, :, None]
@@ -436,7 +476,19 @@ class BbdOperator:
         K_ps = K_ps * sc_p[:, :, None] * sc_s[None, None, :]
         K_ss = K_ss * sc_s[:, None] * sc_s[None, :]
 
-        fact = bbd_factorize(K_pp, K_ps, K_ss, delta0)
+        # pivot probe only for f32 factors (refinement-convergence guard,
+        # piv > sqrt(10 eps_f32) ~ 1e-3).  Full-precision factors escalate
+        # on NaN alone, like the dense f64 path: probing f64 pivots at 1e-7
+        # rejected LEGITIMATE factorizations of cond ~1e14 equilibrated
+        # barrier systems, escalating delta to 1e-3 *relative* (the dense
+        # path's NaN-floor delta is ~1e-12 relative) — the rescue then
+        # solved a heavily damped wrong system and the IPM crawled
+        # (measured: 300-bus warm-start QP, dense 29 iters to 1e-8, BBD
+        # stuck at dual 3e-2 for 100+ iters).
+        fact = bbd_factorize(
+            K_pp, K_ps, K_ss, delta0,
+            min_pivot=(1e-3 if mixed else 0.0),
+        )
         delta64 = fact.delta.astype(dtype)
         # the ladder's delta applies to the equilibrated blocks — in unscaled
         # units that is K + delta * diag(K); the refinement target must match
@@ -456,59 +508,6 @@ class BbdOperator:
             )
             return sc_p[:, :, None] * x_pp, sc_s[:, None] * x_ss
 
-        # ---- dense equality Schur: S = A_eq K^-1 A_eq' + diag(E_eq) -------
-        m_eq, P = bs.m_eq, bs.P
-        A_eq_int32 = maps.gather_eq(A_int32)  # (P, mre, nd)
-        A_eq_sep32 = maps.gather_eq(A_sep32)  # (P, mre, ns)
-        # RHS blocks of K^-1 A_eq' in dense eq ordering
-        R_pp = jnp.zeros((P, bs.nd, m_eq + 1), f32)
-        R_pp = R_pp.at[jnp.arange(P)[:, None], :, maps.eq_gidx].add(
-            A_eq_int32
-        )
-        R_ss = jnp.zeros((bs.ns, m_eq + 1), f32)
-        R_ss = R_ss.at[:, maps.eq_gidx.reshape(-1)].add(
-            jnp.moveaxis(A_eq_sep32, -1, 0).reshape(bs.ns, -1)
-        )
-        KiA_pp, KiA_ss = solve_K_blocks(
-            R_pp[..., :m_eq], R_ss[..., :m_eq]
-        )
-
-        def eq_contract(x_pp, x_ss):
-            """A_eq @ x for block-laid-out (P, nd, k), (ns, k) -> (m_eq, k)."""
-            part = jnp.einsum("prk,pkc->prc", A_eq_int32, x_pp) + jnp.einsum(
-                "prs,sc->prc", A_eq_sep32, x_ss
-            )
-            out = jnp.zeros((m_eq + 1, part.shape[-1]), part.dtype)
-            out = out.at[maps.eq_gidx.reshape(-1)].add(
-                part.reshape(-1, part.shape[-1])
-            )
-            return out[:m_eq]
-
-        S = eq_contract(KiA_pp, KiA_ss)
-        E_eq = maps.eq_dense(E_stiff.astype(f32))
-        stiff_eq = maps.eq_dense(stiff.astype(f32))
-        # currently-soft eq rows get a huge diagonal -> dy ~ 0 there
-        S = S + jnp.diag(E_eq + (1.0 - stiff_eq) * 1.0e12)
-        scS = jax.lax.rsqrt(jnp.maximum(jnp.abs(jnp.diagonal(S)), 1e-30))
-        LS = jnp.linalg.cholesky(S * scS[:, None] * scS[None, :])
-        LSi = tri_inv(LS)
-
-        def solve_S32(b):
-            return scS * (LSi.T @ (LSi @ (scS * b)))
-
-        def approx_block(r1, r2_eq):
-            r_pp, r_ss = maps.to_blocks(r1.astype(f32))
-            t_pp, t_ss = solve_K_blocks(r_pp, r_ss)
-            b = (
-                eq_contract(t_pp[..., None], t_ss[..., None])[:, 0]
-                - r2_eq.astype(f32)
-            )
-            dy = solve_S32(b)
-            dp_pp = t_pp - jnp.einsum("pkc,c->pk", KiA_pp, dy)
-            dp_ss = t_ss - KiA_ss @ dy
-            dp = maps.from_blocks(dp_pp, dp_ss).astype(dtype)
-            return dp, dy.astype(dtype)
-
         q_mv, a_mv, a_rmv = self.q_mv, self.a_mv, self.a_rmv
 
         def K_mv(x):
@@ -519,29 +518,116 @@ class BbdOperator:
                 + a_rmv(invE_soft * a_mv(x))
             )
 
+        # panel version: (n, k) column-wise through the structured matvecs
+        K_mv_panel = jax.vmap(K_mv, in_axes=1, out_axes=1)
+
+        def solve_K32_g(r):
+            """Raw f32 factor application in GLOBAL layout, (n,[k])."""
+            r_pp, r_ss = maps.to_blocks(r.astype(f32))
+            x_pp, x_ss = solve_K_blocks(r_pp, r_ss)
+            return maps.from_blocks(x_pp, x_ss)
+
+        def solve_K_ref(r, K_apply):
+            """f32 factor + compute-dtype refinement against the EXACT
+            operator (rolled fori_loop).  This is the structured analog of
+            the dense path's ``solve_factorized(fact_K, ., ir_steps)`` —
+            every K application the IPM sees is ~compute-dtype accurate.
+            An earlier design used raw f32 K/S applications inside an OUTER
+            block-refinement sweep; on real-topology case118 stiff systems
+            (cond(S) ~ 1e8-1e9 from the barrier-weight spread) that
+            preconditioner is an *expansion* (error x2.3 per sweep,
+            measured) — refinement must happen at the inner-solve level,
+            exactly like the dense hybrid."""
+            x = solve_K32_g(r).astype(dtype)
+
+            def swp(_, x):
+                return x + solve_K32_g(r - K_apply(x)).astype(dtype)
+
+            return lax.fori_loop(0, self.ir_steps, swp, x)
+
+        # ---- dynamic stiff Schur: per-part slots, part-major ordering ------
+        # The IPM's capped stiff mask (cap_stiff) leaves at most cap_p rows
+        # per part; gather them into static part-local slots so
+        # S = A_t K^-1 A_t' + diag(E_t) is (P*cap_p, P*cap_p).  Unused slots
+        # carry a zero A-row and unit diagonal (their dy stays 0: masked rhs).
+        P, cap_p = bs.P, self.cap_p
+        nst = P * cap_p
+        st_p = maps.rows_gather(stiff)  # (P, mr) bool, padding False
+        E_sp = maps.rows_gather(E_stiff.astype(dtype))
+        key = jnp.where(st_p, E_sp, jnp.asarray(_BIG, dtype))
+        _, sel = lax.top_k(-key, cap_p)  # (P, cap_p) part-local slot indices
+        sel_mask = jnp.take_along_axis(st_p, sel, axis=1)
+        A_int64, A_sep64 = self.J
+        A_sel_int = (
+            jnp.take_along_axis(A_int64, sel[:, :, None], axis=1)
+            * sel_mask[:, :, None]
+        )  # (P, cap_p, nd) compute dtype
+        A_sel_sep = (
+            jnp.take_along_axis(A_sep64, sel[:, :, None], axis=1)
+            * sel_mask[:, :, None]
+        )  # (P, cap_p, ns)
+        E_sel = jnp.where(
+            sel_mask, jnp.take_along_axis(E_sp, sel, axis=1), 1.0
+        )
+
+        # A_t' in global layout (n, nst): column (q, c) = global slot
+        # q*cap_p + c has interior support only in part q
+        eyeP = jnp.eye(P, dtype=dtype)
+        R_pp = (
+            jnp.swapaxes(A_sel_int, 1, 2)[:, :, :, None] * eyeP[:, None, None, :]
+        )  # (P, nd, cap_p, P) -> want (P, nd, P, cap_p)
+        R_pp = jnp.moveaxis(R_pp, 3, 2).reshape(P, bs.nd, nst)
+        R_ss = jnp.moveaxis(A_sel_sep, -1, 0).reshape(bs.ns, nst)
+        At_g = maps.from_blocks(R_pp, R_ss)  # (n, nst) exact A_t'
+
+        # refined panel K^-1 A_t' and compute-dtype Schur complement: the
+        # stiff S goes through linsolve.factorize_spd (f32 factor with Jacobi
+        # equilibration, pivot probe, escalating-delta ladder) with solves
+        # refined against the compute-dtype S — the SAME machinery the dense
+        # hybrid's S uses.  A raw f32 panel/Cholesky is a knife-edge here:
+        # cond(S) at cold starts reaches the 1/eps_f32 range and the solve
+        # accuracy depended on nothing but padding-induced rounding
+        # (measured: 1.5e-3 vs 1.8e-1 relative error on the same system).
+        KiA_g = solve_K_ref(At_g, K_mv_panel)  # (n, nst) compute dtype
+        S = At_g.T @ KiA_g
+        S = S + jnp.diag(
+            E_sel.reshape(nst)
+            + (1.0 - sel_mask.reshape(nst).astype(dtype))
+        )
+        fact_S = factorize_spd(
+            S, jnp.zeros((), dtype), factor_dtype=self.fdtype,
+            backend=self.opts.kkt_backend,
+            min_pivot=(1e-3 if mixed else 0.0), equilibrate=True,
+        )
+
+        def solve_S(b):
+            return solve_factorized(fact_S, b, ir_steps=self.ir_steps)
+
+        def r2_pick(r2_full):
+            """(m,) stiff-masked rhs -> (nst,) part-major compute dtype."""
+            rp = maps.rows_gather(r2_full)
+            return jnp.where(
+                sel_mask, jnp.take_along_axis(rp, sel, axis=1), 0.0
+            ).reshape(nst)
+
+        def dy_scatter(dy):
+            """(nst,) part-major dy -> (m,) global, zeros off-selection."""
+            d2 = jnp.zeros((P, bs.mr), dy.dtype)
+            d2 = d2.at[jnp.arange(P)[:, None], sel].add(
+                jnp.where(sel_mask, dy.reshape(P, cap_p), 0.0)
+            )
+            return maps.rows_scatter(d2)
+
         def solve_block(r1, r2_full):
-            """Solve [K+dI, A_t'; A_t, -E_t] with f32 factors + compute-dtype
-            block refinement (rolled fori_loop — one traced sweep body).
+            """Solve [K+dI, A_t'; A_t, -E_t] with refined inner solves (the
+            dense hybrid's design — no outer block sweep needed).
             r2_full (m,) is masked to stiff rows; the returned dy is
             full-length with zeros off-stiff."""
-            r2_eq = maps.eq_dense(r2_full)
-
-            def sweep(_, carry):
-                dp, dy_eq = carry
-                dy_full = maps.eq_scatter(dy_eq)
-                res1 = r1 - (
-                    K_mv(dp) + a_rmv(jnp.where(stiff, dy_full, 0.0))
-                )
-                res2_full = jnp.where(
-                    stiff, r2_full - (a_mv(dp) - E_stiff * dy_full), 0.0
-                )
-                ddp, ddy = approx_block(res1, maps.eq_dense(res2_full))
-                return (dp + ddp, dy_eq + ddy)
-
-            dp, dy_eq = lax.fori_loop(
-                0, max(1, self.ir_steps), sweep, approx_block(r1, r2_eq)
-            )
-            dy_full = maps.eq_scatter(dy_eq)
+            t = solve_K_ref(r1, K_mv)
+            b = At_g.T @ t - r2_pick(r2_full)
+            dy_sel = solve_S(b)
+            dp = t - KiA_g @ dy_sel
+            dy_full = dy_scatter(dy_sel)
             return dp, jnp.where(stiff, dy_full, 0.0)
 
         return solve_block, delta64

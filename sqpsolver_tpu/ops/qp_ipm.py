@@ -200,6 +200,32 @@ class DenseOp:
     def stiff_allowed(self):
         return jnp.ones((self.A.shape[0],), bool)
 
+    def rescue_op(self):
+        """Full-precision twin for the f64 stall-rescue phase: direct
+        factors, full Schur set, no f32 plane."""
+        return DenseOp(
+            self.Q, self.A,
+            dataclasses.replace(
+                self.opts, factor_dtype="same", plane=False, schur_cap=0
+            ),
+            self.dtype,
+        )
+
+    def cap_stiff(self, stiff, E, cap):
+        """Bounded Schur set (IpmOptions.schur_cap): keep the ``cap``
+        globally stiffest rows (smallest E — equalities first by
+        construction).  The rank is computed by double-argsort (O(m log m),
+        trivial next to the factorizations); ties break by row index, so the
+        selection is deterministic and matches prepare()'s gather."""
+        m = self.A.shape[0]
+        if not 0 < cap < m:
+            return stiff
+        key = jnp.where(stiff, E, _BIG)
+        rank = jnp.zeros((m,), jnp.int32).at[
+            jnp.argsort(key, stable=True)
+        ].set(jnp.arange(m, dtype=jnp.int32))
+        return jnp.logical_and(stiff, rank < cap)
+
     def prepare(self, diag_k, invE_soft, stiff, E_stiff, delta0):
         """Assemble/factor  K = Q + diag(diag_k) + A' diag(invE) A  and the
         stiff Schur complement  S = A_t K^-1 A_t' + diag(E_t); return
@@ -763,7 +789,6 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
     # strict tolerance (see IpmOptions.polish_iters)
     do_polish = (
         opts.polish_iters > 0
-        and Q is not None
         and opts.factor_dtype == "float32"
         and dtype == jnp.float64
     )
@@ -823,21 +848,15 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
         ev = v / zeta_v
         E = eu + ev + _masked_div(one_m, Ds, rowbounded)
         soft = jnp.logical_or(E > 1.0, freerow)
-        # rows outside the operator's static stiff set (structured backend:
-        # non-equality rows) fold into K regardless of E
+        # rows outside the operator's allowed set fold into K regardless of E
         stiff = jnp.logical_and(~soft, allowed)
-        if 0 < loop_cfg["cap"] < m:
-            # bounded Schur set: keep the schur_cap stiffest rows (smallest
-            # E — equalities first by construction), fold the overflow into
-            # K via the bounded 1/max(E, invE_floor) like any soft row.  The
-            # rank is computed by double-argsort (O(m log m), trivial next
-            # to the factorizations); ties break by row index, so the
-            # selection is deterministic and matches DenseOp's gather.
-            key = jnp.where(stiff, E, _BIG)
-            rank = jnp.zeros((m,), jnp.int32).at[
-                jnp.argsort(key, stable=True)
-            ].set(jnp.arange(m, dtype=jnp.int32))
-            stiff = jnp.logical_and(stiff, rank < loop_cfg["cap"])
+        # bounded Schur set: the operator may shrink the stiff set to its
+        # capacity (DenseOp: keep the loop_cfg["cap"] globally stiffest rows;
+        # BbdOperator: per-part top-k into static part-local slots); the
+        # overflow folds into K via the bounded 1/max(E, invE_floor) like
+        # any soft row.  The SAME rule must produce the mask here and the
+        # gathered rows inside prepare(), so capping lives on the operator.
+        stiff = loop_cfg["op"].cap_stiff(stiff, E, loop_cfg["cap"])
         elim = jnp.logical_and(~stiff, ~freerow)  # fold into K via 1/E
         invE_soft = jnp.where(
             elim, 1.0 / jnp.maximum(E, opts.invE_floor), 0.0
@@ -1104,14 +1123,11 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
     if do_polish:
         # continue the SAME interior-point iteration with direct f64
         # factorizations to the strict tolerance.  Lanes already strictly
-        # converged (and skipped lanes) take zero trips.
-        loop_cfg["op"] = DenseOp(
-            Q, A,
-            dataclasses.replace(
-                opts, factor_dtype="same", plane=False, schur_cap=0
-            ),
-            dtype,
-        )
+        # converged (and skipped lanes) take zero trips.  The swap is
+        # backend-generic: every operator supplies its own full-precision
+        # twin (DenseOp -> direct f64 factors; BbdOperator -> f64 block
+        # factors), so the stall rescue covers the structured path too.
+        loop_cfg["op"] = loop_cfg["op"].rescue_op()
         tol_p2 = jnp.asarray(opts.tol, dtype)
         if tol_override is not None:
             # the inexact-SQP relaxation applies to BOTH phases: a lane the

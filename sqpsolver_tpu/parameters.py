@@ -142,6 +142,13 @@ class Parameters:
     #: power iteration, ~40 matvecs, near-exact — the TPU-friendly choice),
     #: or "gershgorin" (one-pass circle bound; very conservative)
     hessian_shift: str = "eigh"
+    #: Lanczos steps for the matvec-only lambda_min bound ("power" mode and
+    #: the structured path).  0 = auto: min(n, 64).  A loose bound
+    #: over-shifts the convexification, and since pred/ared ratios use the
+    #: ORIGINAL Hessian (sqp_trust_region.jl:487), over-shifted steps fail
+    #: the ratio test — measured on structured case30 b8: 40 steps -> 18.9
+    #: mean SQP iters, 72 (= n, exact) -> 15.75.
+    hessian_shift_iters: int = 0
 
     def replace(self, **kw: Any) -> "Parameters":
         return dataclasses.replace(self, **kw)

@@ -79,12 +79,15 @@ def ipm_iter_flops_dense(n: int, m: int, s: int, ir_steps: int) -> dict:
 
 
 def ipm_iter_flops_bbd(
-    P: int, nd: int, ns: int, mr: int, m_eq: int, ir_steps: int
+    P: int, nd: int, ns: int, mr: int, n_schur: int, ir_steps: int
 ) -> dict:
     """Dominant-term FLOPs of ONE interior-point iteration through the
     structured bordered-block-diagonal backend (ops/kkt_bbd.py BbdOperator):
     P interior blocks of nd variables, separator of ns, mr rows per part,
-    dense equality Schur complement of m_eq rows."""
+    dense stiff Schur complement of n_schur = P * part_schur_cap rows
+    (dynamic per-part stiff slots), ``ir_steps`` refinement sweeps per
+    inner K/S application (dense-hybrid semantics)."""
+    n = P * nd + ns
     # K blocks: K_pp einsum (P, mr, nd) x (P, mr, nd), K_ps, K_ss
     assemble = 2.0 * P * mr * nd * nd + 2.0 * P * mr * nd * ns \
         + 2.0 * P * mr * ns * ns
@@ -96,20 +99,27 @@ def ipm_iter_flops_bbd(
         + 2.0 * P * nd * ns * ns    # S = K_ss - W'W
         + 2.0 * (ns**3) / 3.0
     )
-    # equality Schur: K^-1 A_eq' (m_eq rhs through the block solve), then
-    # S_eq assembly + factorization
+    # one raw f32 K application through the explicit inverse factors
     k_apply_rhs = 4.0 * P * nd * nd + 4.0 * P * nd * ns + 2.0 * ns * ns
+    # one exact K matvec (structured H blocks + two J passes) for residuals
+    k_mv = (2.0 * P * nd * nd + 4.0 * P * nd * ns + 2.0 * ns * ns) \
+        + 4.0 * P * mr * (nd + ns)
+    # stiff Schur: refined panel KiA = (1+ir) raw applications on n_schur
+    # RHS + ir panel residuals; S = At' KiA (2 n nst^2); chol of S
     schur = (
-        m_eq * k_apply_rhs
-        + 2.0 * P * mr * (nd + ns) * m_eq
-        + 2.0 * (m_eq**3) / 3.0
+        (ir_steps + 1) * n_schur * k_apply_rhs
+        + ir_steps * n_schur * k_mv
+        + 2.0 * n * n_schur * n_schur
+        + (n_schur**3) / 3.0
     )
-    # Newton solves: 2 per iteration, ir_steps+1 block applications each;
-    # one application = block K solve + eq-Schur back-substitution
-    apply_f32 = k_apply_rhs + 2.0 * m_eq * m_eq \
-        + 2.0 * (P * nd + ns) * m_eq
-    residual = 4.0 * P * nd * (nd + ns) + 4.0 * P * mr * (nd + ns)
-    solve = 2.0 * ((ir_steps + 1) * apply_f32 + ir_steps * residual)
+    # Newton solves: 2 per iteration, each = refined K solve + At
+    # contraction (2 n nst) + refined S solve + dp correction (2 n nst)
+    apply_once = (
+        (ir_steps + 1) * k_apply_rhs + ir_steps * k_mv
+        + (2 * ir_steps + 1) * 2.0 * n_schur * n_schur
+        + 4.0 * n * n_schur
+    )
+    solve = 2.0 * apply_once
     return {
         "assemble": assemble,
         "factorize": factorize,
@@ -118,14 +128,15 @@ def ipm_iter_flops_bbd(
     }
 
 
-def sqp_iter_flops(n: int, hessian_shift: str) -> dict:
+def sqp_iter_flops(n: int, hessian_shift: str, shift_iters: int = 0) -> dict:
     """Per-SQP-iteration FLOPs outside the QP: the convexification bound.
-    eigh ~ 10 n^3 (QR iteration estimate); power = 40 Lanczos matvecs;
-    gershgorin = one elementwise pass."""
+    eigh ~ 10 n^3 (QR iteration estimate); power = ``shift_iters`` Lanczos
+    matvecs (0 = the driver's auto min(n, 64)); gershgorin = one
+    elementwise pass."""
     if hessian_shift == "eigh":
         shift = 10.0 * n**3
     elif hessian_shift == "power":
-        shift = 40.0 * 2.0 * n * n
+        shift = (shift_iters or min(n, 64)) * 2.0 * n * n
     else:
         shift = 2.0 * n * n
     return {"shift": shift, "eval": 0.0}
@@ -141,19 +152,20 @@ def total_flops(
     ir_steps: int,
     schur_cap: int = 0,
     bbd_dims: tuple | None = None,
+    shift_iters: int = 0,
 ) -> dict:
     """Total analytic FLOPs of a batched solve, by phase.
 
     ``sqp_iters_total`` / ``qp_iters_total`` are summed over lanes (the
     per-lane counters the solver already carries).  ``schur_cap`` = 0 means
-    the full (m, m) Schur set.  ``bbd_dims = (P, nd, ns, mr, m_eq)`` selects
-    the structured count."""
+    the full (m, m) Schur set.  ``bbd_dims = (P, nd, ns, mr, n_schur)``
+    selects the structured count (n_schur = P * part_schur_cap)."""
     s = schur_cap if schur_cap > 0 else m
     if bbd_dims is not None:
         per_ipm = ipm_iter_flops_bbd(*bbd_dims, ir_steps=ir_steps)
     else:
         per_ipm = ipm_iter_flops_dense(n, m, s, ir_steps)
-    per_sqp = sqp_iter_flops(n, hessian_shift)
+    per_sqp = sqp_iter_flops(n, hessian_shift, shift_iters)
     out = {k: v * qp_iters_total for k, v in per_ipm.items()}
     for k, v in per_sqp.items():
         out[k] = out.get(k, 0.0) + v * sqp_iters_total

@@ -41,13 +41,13 @@ mesh = mh.global_instance_mesh()
 # case9 load scenarios; each host feeds its contiguous local slice of 2
 case = case9()
 nlp = acopf_polar(case)
-theta = np.asarray(load_scenarios(case, 4, seed=7, spread=0.03))
+theta = load_scenarios(case, 4, seed=7, spread=0.03)  # pytree, axis 0 = batch
 params = sqp.Parameters(
     max_iter=40, OutputFlag=0, tol_infeas=1e-6, tol_residual=1e-4,
     init_projection="off",
 )
-data = batch_data(nlp, 2, theta=theta[pid * 2 : (pid + 1) * 2],
-                  dtype=jnp.float64)
+theta_local = jax.tree.map(lambda a: a[pid * 2 : (pid + 1) * 2], theta)
+data = batch_data(nlp, 2, theta=theta_local, dtype=jnp.float64)
 data = mh.host_local_batch(data, mesh)
 solver = shd.make_sharded_solver(nlp, params, mesh)
 out = solver(data)
