@@ -45,8 +45,9 @@ def probe(nbus, batch, which):
         "noshift": {"hessian_shift": "gershgorin"},
         "norescue": {"qp_rescue": False},
         "nowarm": {"qp_warm_start": False},
+        "nosoc": {"use_soc": False},
         "min": {"hessian_shift": "gershgorin", "qp_rescue": False,
-                "qp_warm_start": False},
+                "qp_warm_start": False, "use_soc": False},
     }
     if which == "qp_only":
         from sqpsolver_tpu.ops.qp_ipm import IpmOptions, solve_qp

@@ -86,22 +86,26 @@ def stage_qp_plane():
     return _qp("mixed_plane")
 
 
-def stage_sqp1(precision="mixed_plane", shift="power", batch=1):
+def stage_sqp1(precision="mixed_plane", shift="power", batch=1,
+               structured=False, nbus=30, maxit=40):
     from sqpsolver_tpu import Parameters
     from sqpsolver_tpu.models.acopf import acopf_polar, load_scenarios
     from sqpsolver_tpu.models.matpower import load_case
     from sqpsolver_tpu.parallel.batch import batch_data, make_batch_solver
 
-    case = load_case("case30")
+    case = load_case(f"case{nbus}")
     nlp = acopf_polar(case)
-    params = Parameters(max_iter=40, OutputFlag=0, tol_infeas=1e-6,
+    params = Parameters(max_iter=maxit, OutputFlag=0, tol_infeas=1e-6,
                         tol_residual=1e-4, qp_max_iter=30,
                         kkt_precision=precision, hessian_shift=shift,
-                        init_projection="off")
+                        init_projection="off", kkt_structured=structured)
     solver = make_batch_solver(nlp, params)
     theta = load_scenarios(case, batch, seed=7, spread=0.03)
     data = batch_data(nlp, batch, theta=theta, dtype=jnp.float64)
     out = solver(data)
+    jax.block_until_ready(out.x)
+    print(f"  status={np.asarray(out.status).tolist()[:16]} "
+          f"iters={np.asarray(out.iterations).tolist()[:16]}", flush=True)
     return out.x
 
 
@@ -116,6 +120,15 @@ def main():
         "sqp1": stage_sqp1,
         # the rung that reproduced the round-2 device fault: batch 32
         "sqp32": lambda **kw: stage_sqp1(**{"batch": 32, **kw}),
+        # structured (BBD) rungs — round-4 isolation of the structured
+        # case118 b16 on-chip fault.  The structured path defaults to the
+        # Lanczos shift; pass shift=gershgorin to take the blocked-Gershgorin
+        # escape hatch (convexify checks gershgorin before the structured
+        # dispatch).
+        "bbd": lambda **kw: stage_sqp1(
+            **{"structured": True, "precision": "mixed_ir", "batch": 8,
+               "shift": "power", **kw}
+        ),
     }
     if which not in stages and which != "all":
         print(f"unknown stage {which!r}; valid: "
@@ -124,13 +137,17 @@ def main():
     # optional positional overrides for the sqp rungs:
     #   tpu_smoke.py sqp1 <batch> <precision> <shift>
     kw = {}
-    if which.startswith("sqp"):
+    if which.startswith("sqp") or which == "bbd":
         if len(sys.argv) > 2:
             kw["batch"] = int(sys.argv[2])
-        if len(sys.argv) > 3:
+        if len(sys.argv) > 3 and sys.argv[3] != "-":
             kw["precision"] = sys.argv[3]
         if len(sys.argv) > 4:
             kw["shift"] = sys.argv[4]
+        if len(sys.argv) > 5:
+            kw["nbus"] = int(sys.argv[5])
+        if len(sys.argv) > 6:
+            kw["maxit"] = int(sys.argv[6])
     if which == "all":
         ok = True
         for name, fn in stages.items():

@@ -311,13 +311,20 @@ def make_solver(
             n_parts=(params.kkt_parts or None),
         )
         maps = BlockMaps(bs, shard=block_shard)
-        # jvp/hvp seed matrices from the colorings (one-hot per color)
-        seedsJ_np = _np.zeros((bs.nJ, n))
-        seedsJ_np[bs.colorJ, _np.arange(n)] = 1.0
-        seedsH_np = _np.zeros((bs.nH, n))
-        seedsH_np[bs.colorH, _np.arange(n)] = 1.0
-        seedsJ = jnp.asarray(seedsJ_np, dtype)
-        seedsH = jnp.asarray(seedsH_np, dtype)
+        # jvp/hvp seed matrices from the colorings (one-hot per color).
+        # Built INSIDE the traced functions from the tiny (n,) color vectors:
+        # a materialized (nJ, n)/(nH, n) f64 one-hot captured by the inner
+        # jitted eval_all cannot be hoisted out of the cond/while regions and
+        # embeds as a dense literal — at case118 the two seed matrices alone
+        # were 479K of the 1.98M-char StableHLO module, and the axon remote
+        # compile time scales with module size.
+        colJ_vec = jnp.asarray(bs.colorJ, jnp.int32)
+        colH_vec = jnp.asarray(bs.colorH, jnp.int32)
+
+        def make_seeds(col, k, ref_dtype):
+            return (
+                col[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None]
+            ).astype(ref_dtype)
 
         def jac_mv(J, p):
             return maps.j_mv(J, p)
@@ -340,6 +347,36 @@ def make_solver(
 
         def qp_operator(H_blocks, J_blocks):
             return BbdOperator(maps, J_blocks, H_blocks, ipm_opts)
+
+        maps_arrays = maps.arrays()
+
+        @jax.jit
+        def _solve_qp_structured(
+            marrs, H_blocks, J_blocks, c, rl, ru, lb, ub, w, skip, init,
+            tol_dyn,
+        ):
+            """Structured QP behind a jit boundary: the dense path's
+            ``solve_qp`` is jitted, so its two call sites (subproblem + SOC)
+            share ONE lowered copy — the structured ``solve_qp_op`` was
+            traced inline and doubled the module (compile size; see the
+            eval_all note above).  The BlockMaps index/mask arrays travel as
+            the ``marrs`` argument so they hoist to top-level parameters
+            instead of embedding as dense literals (BlockMaps.arrays)."""
+            op = BbdOperator(
+                maps.bind(marrs), J_blocks, H_blocks, ipm_opts
+            )
+            return solve_qp_op(
+                op, c, rl, ru, lb, ub, w,
+                opts=ipm_opts, skip=skip, init=init, tol_override=tol_dyn,
+            )
+
+        def solve_qp_structured(
+            H_blocks, J_blocks, c, rl, ru, lb, ub, w, skip, init, tol_dyn
+        ):
+            return _solve_qp_structured(
+                maps_arrays, H_blocks, J_blocks, c, rl, ru, lb, ub, w, skip,
+                init, tol_dyn,
+            )
 
     else:
 
@@ -364,15 +401,26 @@ def make_solver(
     solve_t0 = [0.0]  # host-side clock for the iteration printer
 
     # ------------------------------------------------------------- evals ----
+    # NB: eval_all / obj_cons below are jax.jit-wrapped.  Inside the outer
+    # traced program a jitted inner function lowers to ONE shared StableHLO
+    # function per (function identity, avals) — so the init/refresh eval_all
+    # sites and the trial/SOC-trial/finalize obj+cons sites each cost one
+    # traced copy instead of one per call site.  The ACOPF AD bundle is the
+    # bulk of the outer module (case30 b32: lag_hess 86K + cons_jac 45K +
+    # cons 27K HLO chars per copy), and the axon TPU compile time scales
+    # with module size (scripts/hlo_breakdown.py, scripts/compile_probe.py).
     if structured:
 
-        def eval_all(x, lam, theta):
+        @jax.jit
+        def _eval_all_structured(x, lam, theta, marrs):
+            mp = maps.bind(marrs)
             f, df = nlp.obj_grad(x, theta)
             E = nlp.cons(x, theta)
             gfun = lambda z: nlp.cons(z, theta)
             # coloring-compressed Jacobian: nJ jvp passes instead of n
+            seedsJ = make_seeds(colJ_vec, bs.nJ, x.dtype)
             Jc = jax.vmap(lambda s: jax.jvp(gfun, (x,), (s,))[1])(seedsJ)
-            J = maps.jac_blocks(Jc.T)
+            J = mp.jac_blocks(Jc.T)
             if exact_hessian:
                 def lag_grad(z):
                     val = nlp.obj(z, theta)
@@ -382,14 +430,19 @@ def make_solver(
 
                 glag = jax.grad(lag_grad)
                 # compressed Lagrangian Hessian: nH HVP passes
+                seedsH = make_seeds(colH_vec, bs.nH, x.dtype)
                 Hc = jax.vmap(lambda s: jax.jvp(glag, (x,), (s,))[1])(seedsH)
-                H = maps.hess_blocks(Hc.T)
+                H = mp.hess_blocks(Hc.T)
             else:
                 H = zero_hess(x.dtype)  # SLP mode: LP subproblems
             return f, df, E, J, H
 
+        def eval_all(x, lam, theta):
+            return _eval_all_structured(x, lam, theta, maps_arrays)
+
     else:
 
+        @jax.jit
         def eval_all(x, lam, theta):
             f, df = nlp.obj_grad(x, theta)
             E = nlp.cons(x, theta)
@@ -399,6 +452,12 @@ def make_solver(
             else:
                 H = jnp.zeros((n, n), dtype)  # SLP mode: LP subproblems
             return f, df, E, J, H
+
+    @jax.jit
+    def obj_cons(x, theta):
+        """(f, g) at a trial point — one shared trace for the step trial,
+        the SOC trial, and the finalize write-back."""
+        return nlp.obj(x, theta), nlp.cons(x, theta)
 
     def viol1(E, x, d: NLPData):
         return norm_violations(E, d.g_l, d.g_u, x, d.x_l, d.x_u, ord=1)
@@ -534,9 +593,8 @@ def make_solver(
         tol_dyn = _adaptive_qp_tol(st)
         if structured:
             Q = jax.tree.map(lambda h: jnp.where(st.fr, 0.0, h), H_qp)
-            sol = solve_qp_op(
-                qp_operator(Q, st.J), c, rl, ru, lb, ub, w,
-                opts=ipm_opts, skip=st.done, init=init, tol_override=tol_dyn,
+            sol = solve_qp_structured(
+                Q, st.J, c, rl, ru, lb, ub, w, st.done, init, tol_dyn
             )
         else:
             Q = jnp.where(st.fr, jnp.zeros_like(st.H), H_qp)
@@ -622,9 +680,8 @@ def make_solver(
             )
         tol_dyn = _adaptive_qp_tol(st)
         if structured:
-            sol = solve_qp_op(
-                qp_operator(H_qp, st.J), st.df, rl, ru, lb, ub, w,
-                opts=ipm_opts, skip=~try_soc, init=init, tol_override=tol_dyn,
+            sol = solve_qp_structured(
+                H_qp, st.J, st.df, rl, ru, lb, ub, w, ~try_soc, init, tol_dyn
             )
         else:
             sol = solve_qp(
@@ -931,8 +988,7 @@ def make_solver(
 
         # 7. do_step! — accept/reject with optional SOC (:515-579)
         x_t = st.x + st.p
-        f_t = nlp.obj(x_t, theta)
-        E_t = nlp.cons(x_t, theta)
+        f_t, E_t = obj_cons(x_t, theta)
         phi_t = merit(f_t, E_t, x_t, st.mu, st.fr, d)
         ared = st.phi - phi_t
         q0 = qmodel(st, st.p, d, with_step=False)
@@ -961,8 +1017,7 @@ def make_solver(
                 st, E_t, d, H_qp, try_soc, (new_lam, new_mlo, new_mup)
             )
             x_soc = st.x + p_soc
-            f_soc = nlp.obj(x_soc, theta)
-            E_soc_t = nlp.cons(x_soc, theta)
+            f_soc, E_soc_t = obj_cons(x_soc, theta)
             phi_soc = merit(f_soc, E_soc_t, x_soc, st.mu, st.fr, d)
             ared_soc = st.phi - phi_soc
             q_soc = qmodel(st, p_soc, d, with_step=True)
@@ -1022,7 +1077,27 @@ def make_solver(
             if d.lam0 is None
             else jnp.asarray(d.lam0, dtype)
         )
-        f0, df0, E0, J0, H0 = eval_all(x0, lam, theta)
+        # The first body iteration always refreshes (step_accepted=True at
+        # init, sqp_trust_region.jl:71), so the derivative state can start as
+        # zeros — only f0 (NaN check, :113-115) and E0/J0 (initial
+        # projection) are actually read before the refresh.  Skipping the
+        # full eval_all here keeps ONE lowered copy of the AD bundle in the
+        # program (the init call site batches `lam` differently under vmap,
+        # which would defeat the jit call-site dedup — see eval_all above).
+        if n_lin > 0 and params.init_projection != "off" and not structured:
+            f0, df0, E0, J0, H0 = eval_all(x0, lam, theta)
+        else:
+            f0, E0 = obj_cons(x0, theta)
+            df0 = jnp.zeros((n,), dtype)
+            if structured:
+                J0 = (
+                    jnp.zeros((bs.P, bs.mr, bs.nd), dtype),
+                    jnp.zeros((bs.P, bs.mr, bs.ns), dtype),
+                )
+                H0 = zero_hess(dtype)
+            else:
+                J0 = jnp.zeros((m, n), dtype)
+                H0 = jnp.zeros((n, n), dtype)
         mlo = jnp.zeros((n,), dtype)
         mup = jnp.zeros((n,), dtype)
 
@@ -1122,9 +1197,8 @@ def make_solver(
         ret = jnp.where(hit_limit, limit_ret, st.ret)
 
         # write-back (run! :215-222); g re-evaluated at the final x
-        obj_val = nlp.obj(st.x, d.theta)
+        obj_val, g_out = obj_cons(st.x, d.theta)
         obj_out = -obj_val if nlp.maximize else obj_val
-        g_out = nlp.cons(st.x, d.theta)
 
         return SqpResult(
             x=st.x,

@@ -200,6 +200,30 @@ class BlockMaps:
         self.colH_sep = jnp.asarray(bs.colorH[bs.sep_idx])
         self.is_eq = jnp.asarray(bs.is_eq)  # (m,)
 
+    #: device-array fields, in one pytree for passing through jit boundaries
+    _ARRAY_FIELDS = (
+        "int_idx", "int_mask", "sep_idx", "rows", "rows_mask",
+        "Aint_mask", "Asep_mask", "Hpp_mask", "Hps_mask", "Hss_mask",
+        "colJ_int", "colJ_sep", "colH_int", "colH_sep", "is_eq",
+    )
+
+    def arrays(self) -> dict:
+        """The index/mask arrays as a pytree.  Inner-jitted functions that
+        close over these embed them as dense literals in their lowered
+        subfunction (region boundaries block constant hoisting) — at case118
+        that is ~200K chars of StableHLO per subfunction, and the axon remote
+        compile scales with module size.  Pass this dict as an ARGUMENT and
+        rebuild the view with :meth:`bind` inside instead."""
+        return {k: getattr(self, k) for k in self._ARRAY_FIELDS}
+
+    def bind(self, arrs: dict) -> "BlockMaps":
+        """Shallow view of this BlockMaps with the array fields replaced by
+        (traced) values from ``arrs`` — see :meth:`arrays`."""
+        new = object.__new__(BlockMaps)
+        new.__dict__.update(self.__dict__)
+        new.__dict__.update(arrs)
+        return new
+
     def shard_p(self, x):
         """Constrain a (P, ...) block tensor to be sharded over the part
         axis (no-op when block sharding is off)."""

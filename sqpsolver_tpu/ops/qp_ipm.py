@@ -915,72 +915,85 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
             dzeta_v = rd_v - dy
             return dp, ds, du, dv, dy, dzl, dzu, dll, dlu, dzeta_u, dzeta_v
 
-        # ---- affine predictor (sigma = 0, no corrector term) ----
-        aff = newton(
-            -a_pl * zl * hlb,
-            -a_pu * zu * hub,
-            -a_sl * ll * hrl,
-            -a_su * lu * hru,
-            -u * zeta_u,
-            -v * zeta_v,
-        )
-        (dp_a, ds_a, du_a, dv_a, dy_a,
-         dzl_a, dzu_a, dll_a, dlu_a, dzu_ua, dzv_va) = aff
+        # ---- predictor-corrector as ONE rolled stage (compile size) --------
+        # Stage 0 is the affine predictor, stage 1 the Mehrotra corrector.
+        # With the previous direction zero and smu masked to 0, the corrector
+        # right-hand sides reduce EXACTLY to the affine ones (the d*_a
+        # products vanish), so one traced Newton solve serves both stages —
+        # the static-bound fori_loop lowers to a scan whose body appears once
+        # in the HLO (the module was ~2x bigger with both solves inlined, and
+        # the axon remote-compile time scales with module size).
+        def pc_stage(k, d_prev):
+            (dp_a, ds_a, du_a, dv_a, dy_a,
+             dzl_a, dzu_a, dll_a, dlu_a, dzu_ua, dzv_va) = d_prev
+            is_cor = (k > 0).astype(dtype)
 
-        ap = jnp.minimum(
-            jnp.minimum(
-                _ftb_alpha(a_pl, dp_a, hlb, 1.0),
-                _ftb_alpha(a_pu, -dp_a, hub, 1.0),
-            ),
-            jnp.minimum(
+            # affine step size of the PREVIOUS direction (stage 1 only; at
+            # stage 0 the zero direction gives aa=1, mu_aff=mu — masked out)
+            ap_a = jnp.minimum(
                 jnp.minimum(
-                    _ftb_alpha(a_sl, ds_a, hrl, 1.0),
-                    _ftb_alpha(a_su, -ds_a, hru, 1.0),
+                    _ftb_alpha(a_pl, dp_a, hlb, 1.0),
+                    _ftb_alpha(a_pu, -dp_a, hub, 1.0),
                 ),
                 jnp.minimum(
-                    _ftb_alpha(u, du_a, jnp.ones_like(u, bool), 1.0),
-                    _ftb_alpha(v, dv_a, jnp.ones_like(v, bool), 1.0),
+                    jnp.minimum(
+                        _ftb_alpha(a_sl, ds_a, hrl, 1.0),
+                        _ftb_alpha(a_su, -ds_a, hru, 1.0),
+                    ),
+                    jnp.minimum(
+                        _ftb_alpha(u, du_a, jnp.ones_like(u, bool), 1.0),
+                        _ftb_alpha(v, dv_a, jnp.ones_like(v, bool), 1.0),
+                    ),
                 ),
-            ),
-        )
-        ad = jnp.minimum(
-            jnp.minimum(
-                _ftb_alpha(zl, dzl_a, hlb, 1.0),
-                _ftb_alpha(zu, dzu_a, hub, 1.0),
-            ),
-            jnp.minimum(
+            )
+            ad_a = jnp.minimum(
                 jnp.minimum(
-                    _ftb_alpha(ll, dll_a, hrl, 1.0),
-                    _ftb_alpha(lu, dlu_a, hru, 1.0),
+                    _ftb_alpha(zl, dzl_a, hlb, 1.0),
+                    _ftb_alpha(zu, dzu_a, hub, 1.0),
                 ),
                 jnp.minimum(
-                    _ftb_alpha(zeta_u, dzu_ua, jnp.ones_like(u, bool), 1.0),
-                    _ftb_alpha(zeta_v, dzv_va, jnp.ones_like(v, bool), 1.0),
+                    jnp.minimum(
+                        _ftb_alpha(ll, dll_a, hrl, 1.0),
+                        _ftb_alpha(lu, dlu_a, hru, 1.0),
+                    ),
+                    jnp.minimum(
+                        _ftb_alpha(zeta_u, dzu_ua, jnp.ones_like(u, bool), 1.0),
+                        _ftb_alpha(zeta_v, dzv_va, jnp.ones_like(v, bool), 1.0),
+                    ),
                 ),
-            ),
-        )
+            )
+            # single common step size: with Q != 0 separate primal/dual steps
+            # leave a (ap-ad)*Q*dp term in the dual residual that can stall
+            aa = jnp.minimum(ap_a, ad_a)
+            mu_aff = compl_mu(
+                p + aa * dp_a, s + aa * ds_a, u + aa * du_a, v + aa * dv_a,
+                zl + aa * dzl_a, zu + aa * dzu_a,
+                ll + aa * dll_a, lu + aa * dlu_a,
+                zeta_u + aa * dzu_ua, zeta_v + aa * dzv_va,
+            )
+            sigma = jnp.clip(
+                (mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0
+            )
+            smu = is_cor * sigma * mu
 
-        # single common step size: with Q != 0 separate primal/dual steps
-        # leave a (ap-ad)*Q*dp term in the dual residual that can stall
-        aa = jnp.minimum(ap, ad)
-        mu_aff = compl_mu(
-            p + aa * dp_a, s + aa * ds_a, u + aa * du_a, v + aa * dv_a,
-            zl + aa * dzl_a, zu + aa * dzu_a, ll + aa * dll_a, lu + aa * dlu_a,
-            zeta_u + aa * dzu_ua, zeta_v + aa * dzv_va,
-        )
-        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
-        smu = sigma * mu
+            return newton(
+                jnp.where(hlb, smu - a_pl * zl - dp_a * dzl_a, 0.0),
+                jnp.where(hub, smu - a_pu * zu - (-dp_a) * dzu_a, 0.0),
+                jnp.where(hrl, smu - a_sl * ll - ds_a * dll_a, 0.0),
+                jnp.where(hru, smu - a_su * lu - (-ds_a) * dlu_a, 0.0),
+                smu - u * zeta_u - du_a * dzu_ua,
+                smu - v * zeta_v - dv_a * dzv_va,
+            )
 
-        # ---- corrector (Mehrotra second-order terms) ----
-        cor = newton(
-            jnp.where(hlb, smu - a_pl * zl - dp_a * dzl_a, 0.0),
-            jnp.where(hub, smu - a_pu * zu - (-dp_a) * dzu_a, 0.0),
-            jnp.where(hrl, smu - a_sl * ll - ds_a * dll_a, 0.0),
-            jnp.where(hru, smu - a_su * lu - (-ds_a) * dlu_a, 0.0),
-            smu - u * zeta_u - du_a * dzu_ua,
-            smu - v * zeta_v - dv_a * dzv_va,
+        zero_dir = (
+            jnp.zeros_like(p), jnp.zeros_like(s), jnp.zeros_like(u),
+            jnp.zeros_like(v), jnp.zeros_like(y), jnp.zeros_like(zl),
+            jnp.zeros_like(zu), jnp.zeros_like(ll), jnp.zeros_like(lu),
+            jnp.zeros_like(zeta_u), jnp.zeros_like(zeta_v),
         )
-        (dp, ds, du, dv, dy, dzl, dzu, dll, dlu, dzeta_u, dzeta_v) = cor
+        (dp, ds, du, dv, dy, dzl, dzu, dll, dlu, dzeta_u, dzeta_v) = (
+            lax.fori_loop(0, 2, pc_stage, zero_dir)
+        )
 
         ap = jnp.minimum(
             jnp.minimum(
