@@ -81,6 +81,7 @@ from sqpsolver_tpu.models.power import case9, synthetic_case  # noqa: E402
 from sqpsolver_tpu.parallel.batch import (  # noqa: E402
     batch_data,
     make_batch_solver,
+    make_chunked_batch_solver,
     summarize_batch,
 )
 
@@ -145,7 +146,22 @@ def main():
 
     jdtype = jnp.float64 if dtype == "float64" else jnp.float32
 
-    solver = make_batch_solver(nlp, params)
+    # chunked execution (default on for the axon/TPU backend): the tunnel
+    # kills any single device execution at 60 s (parallel.batch.
+    # make_chunked_batch_solver docstring) — large batches and case118+
+    # never finish in one call.  Chunking costs ~ms/chunk of host round-trip.
+    chunked_env = os.environ.get("SQP_BENCH_CHUNKED", "")
+    chunked = (
+        platform != "cpu" if chunked_env == "" else chunked_env == "1"
+    )
+    log(f"chunked={chunked}")
+
+    def build_solver():
+        if chunked:
+            return make_chunked_batch_solver(nlp, params)
+        return make_batch_solver(nlp, params)
+
+    solver = build_solver()
     # spread 0.03: every scenario stays inside case30's feasible region
     # (0.05 pushes 1-2 of 32 past the generation limits into local
     # infeasibility — a correct status-2 answer, but noise in a throughput
@@ -176,7 +192,7 @@ def main():
     # serial baseline: same solver, one instance at a time (the reference's
     # execution model), measured on a subsample and scaled
     n_serial = min(4, batch)
-    serial_solver = make_batch_solver(nlp, params)  # batch=1 via slicing
+    serial_solver = build_solver()  # batch=1 via slicing
     one = jax.tree.map(lambda a: a[:1], data)
     o = serial_solver(one)
     jax.block_until_ready(o.x)  # compile

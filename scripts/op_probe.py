@@ -133,13 +133,30 @@ def probes():
         x = jnp.full((256, 143), jnp.nan)
         return jax.jit(jax.vmap(lambda v: jnp.argsort(v, stable=True)))(x)
 
+    def topk_inf_16x8x208():
+        x = jnp.full((16, 8, 208), jnp.inf)
+        return jax.jit(jax.vmap(lambda v: lax.top_k(v, 80)[1]))(x)
+
+    def argsort_inf_256x143():
+        x = jnp.full((256, 143), jnp.inf)
+        return jax.jit(jax.vmap(lambda v: jnp.argsort(v, stable=True)))(x)
+
+    def eigh_inf_16x344():
+        s = jnp.full((16, 344, 344), jnp.inf, jnp.float32)
+        return jax.jit(lambda s: jnp.linalg.eigvalsh(s)[..., 0])(s)
+
+    def eigh_nan_256x143():
+        s = jnp.full((256, 143, 143), jnp.nan, jnp.float32)
+        return jax.jit(lambda s: jnp.linalg.eigvalsh(s)[..., 0])(s)
+
     return {k.__name__: k for k in (
         argsort_256x143, argsort_16x609, topk_16x8x208, chol_256x143,
         chol_16x8x96, triinv_16x8x96, eigh_256x72, eigh_16x344,
         scatter_16x8x208, f64matmul_16x344,
         chol_nan_256x143, chol_inf_16x8x96, trisolve_nan_16x8x96,
         eigh_nan_256x72, eigh_nan_16x344, topk_nan_16x8x208,
-        argsort_nan_256x143,
+        argsort_nan_256x143, topk_inf_16x8x208, argsort_inf_256x143,
+        eigh_inf_16x344, eigh_nan_256x143,
     )}
 
 

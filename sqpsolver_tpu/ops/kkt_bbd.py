@@ -452,7 +452,11 @@ class BbdOperator:
         maps = self.maps
         st_p = maps.rows_gather(stiff)  # (P, mr), padding False
         E_p = maps.rows_gather(E)
-        key = jnp.where(st_p, E_p, _BIG)
+        # non-finite guard: axon top_k faults the device on inf/nan keys
+        # (scripts/op_probe.py); poisoned rows fold into K like overflow
+        key = jnp.where(
+            jnp.logical_and(st_p, jnp.isfinite(E_p)), E_p, _BIG
+        )
         _, sel = lax.top_k(-key, self.cap_p)
         keep = jnp.zeros_like(st_p).at[
             jnp.arange(maps.bs.P)[:, None], sel
@@ -578,7 +582,11 @@ class BbdOperator:
         nst = P * cap_p
         st_p = maps.rows_gather(stiff)  # (P, mr) bool, padding False
         E_sp = maps.rows_gather(E_stiff.astype(dtype))
-        key = jnp.where(st_p, E_sp, jnp.asarray(_BIG, dtype))
+        # same non-finite top_k guard as cap_stiff (device-fault avoidance)
+        key = jnp.where(
+            jnp.logical_and(st_p, jnp.isfinite(E_sp)), E_sp,
+            jnp.asarray(_BIG, dtype),
+        )
         _, sel = lax.top_k(-key, cap_p)  # (P, cap_p) part-local slot indices
         sel_mask = jnp.take_along_axis(st_p, sel, axis=1)
         A_int64, A_sep64 = self.J

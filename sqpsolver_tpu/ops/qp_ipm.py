@@ -220,7 +220,11 @@ class DenseOp:
         m = self.A.shape[0]
         if not 0 < cap < m:
             return stiff
-        key = jnp.where(stiff, E, _BIG)
+        # non-finite guard: an extreme lane can push a row elasticity E to
+        # inf/nan transiently; the axon sort/top_k kernels FAULT THE DEVICE
+        # on non-finite keys (round-4 isolation, scripts/op_probe.py), so
+        # poisoned entries are routed to the fold-into-K path instead
+        key = jnp.where(jnp.logical_and(stiff, jnp.isfinite(E)), E, _BIG)
         rank = jnp.zeros((m,), jnp.int32).at[
             jnp.argsort(key, stable=True)
         ].set(jnp.arange(m, dtype=jnp.int32))

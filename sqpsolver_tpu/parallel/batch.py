@@ -62,6 +62,72 @@ def make_batch_solver(
     return jax.jit(jax.vmap(core))
 
 
+def make_chunked_batch_solver(
+    nlp: NLP,
+    params: Parameters = Parameters(),
+    *,
+    target_chunk_seconds: float = 20.0,
+    chunk0: int = 2,
+    max_chunk: int = 64,
+) -> Callable[[NLPData], SqpResult]:
+    """Batched solver advanced in host-controlled chunks of outer iterations.
+
+    WHY THIS EXISTS (round-4 root cause): the axon TPU tunnel kills any
+    single device-program execution at 60 seconds with the generic
+    "UNAVAILABLE: TPU device error" (measured exactly: a benign matmul loop
+    targeting 75 s dies at 60.0 s, a 26 s one passes — scripts/op_probe.py
+    session; this one limit explains every round-2/3/4 'device fault': the
+    Lanczos-at-b32 fault, structured case118 b16, dense case30 b256, and
+    eigh on NaN input, which simply never converges).  A monolithic batched
+    `lax.while_loop` solve of B instances x I iterations is ONE execution;
+    at case118-scale it crosses 60 s long before convergence.
+
+    The solver state is an immutable pytree, so the fix is architectural
+    and cheap: advance `run_until` by a bounded iteration chunk per device
+    call (the limit is a TRACED argument — one compile covers every chunk
+    size), measure each chunk's wall clock on the host, and adapt the next
+    chunk to ``target_chunk_seconds``.  Host early-exit when every lane is
+    done.  Chunking costs one host round-trip per chunk (~ms) and buys:
+
+    * watchdog immunity (each call is far under the 60 s limit),
+    * the checkpoint/resume cut points (utils/checkpoint.py uses the same
+      `run_until` contract), and
+    * a future lane-repacking hook at chunk boundaries.
+    """
+    solver = make_solver(nlp, params, verbose=False)
+    init_b = jax.jit(jax.vmap(solver._init_state))
+    run_b = jax.jit(jax.vmap(solver._run_until, in_axes=(0, 0, None)))
+    fin_b = jax.jit(jax.vmap(solver._finalize))
+    max_iter = params.max_iter
+
+    def solve(data: NLPData) -> SqpResult:
+        import time as _time
+
+        st = init_b(data)
+        jax.block_until_ready(st.x)
+        k = max(1, int(chunk0))
+        while True:
+            it = np.asarray(st.iter)
+            done = np.asarray(st.done)
+            if bool(np.all(done)) or int(it.max()) > max_iter:
+                break
+            hi = int(it[~done].max()) if bool((~done).any()) else int(it.max())
+            limit = min(hi + k - 1, max_iter)
+            t0 = _time.time()
+            st = run_b(st, data, jnp.asarray(limit, jnp.int32))
+            jax.block_until_ready(st.x)
+            dt = _time.time() - t0
+            new_it = np.asarray(st.iter)
+            adv = max(int(new_it.max()) - int(it.max()), 1)
+            per_iter = dt / adv
+            # adapt toward the target, never past the watchdog margin
+            k = int(np.clip(target_chunk_seconds / max(per_iter, 1e-4),
+                            1, max_chunk))
+        return fin_b(st, data)
+
+    return solve
+
+
 def summarize_batch(raw: SqpResult) -> dict:
     """Host-side summary of a batched solve."""
     status = np.asarray(raw.status)

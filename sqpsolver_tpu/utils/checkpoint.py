@@ -56,7 +56,10 @@ def solve_with_checkpoints(
         init_state = jax.vmap(init_state)
         run_until = jax.vmap(run_until, in_axes=(0, 0, None))
         finalize = jax.vmap(finalize)
-    run_until = jax.jit(run_until, static_argnums=2)
+    # limit is TRACED (not static): one compiled program serves every chunk
+    # boundary — a static limit recompiled per distinct value, which on the
+    # axon remote compiler costs minutes per chunk
+    run_until = jax.jit(run_until)
     finalize = jax.jit(finalize)
 
     ckptr = None
@@ -87,7 +90,7 @@ def solve_with_checkpoints(
             timed_out = True
             break
         limit = min(int(it.max()) + chunk_iters - 1, max_iter)
-        st = run_until(st, data, limit)
+        st = run_until(st, data, jnp.asarray(limit, jnp.int32))
         jax.block_until_ready(st.x)
         if ckptr is not None:
             host_state = jax.tree.map(np.asarray, st)

@@ -21,6 +21,42 @@ def test_chunked_matches_monolithic():
     assert int(chunked.status) == int(direct.status)
 
 
+def test_adaptive_chunked_batch_matches_monolithic():
+    """make_chunked_batch_solver (the 60-s axon watchdog workaround,
+    parallel/batch.py) must be bit-identical to the monolithic vmapped
+    solve: same while-loop body, only the execution is cut at chunk
+    boundaries."""
+    from sqpsolver_tpu.models.acopf import acopf_polar, load_scenarios
+    from sqpsolver_tpu.models.power import case9
+    from sqpsolver_tpu.parallel.batch import (
+        batch_data,
+        make_batch_solver,
+        make_chunked_batch_solver,
+    )
+
+    case = case9()
+    nlp = acopf_polar(case)
+    params = sqp.Parameters(
+        max_iter=40, OutputFlag=0, tol_infeas=1e-6, tol_residual=1e-4,
+        use_soc=True, init_projection="off",
+    )
+    theta = load_scenarios(case, 6, seed=3, spread=0.05)
+    data = batch_data(nlp, 6, theta=theta)
+    mono = make_batch_solver(nlp, params)(data)
+    chunked = make_chunked_batch_solver(
+        nlp, params, target_chunk_seconds=1e9, chunk0=3
+    )(data)
+    np.testing.assert_array_equal(
+        np.asarray(mono.status), np.asarray(chunked.status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mono.iterations), np.asarray(chunked.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(mono.x), np.asarray(chunked.x), rtol=1e-12, atol=1e-14
+    )
+
+
 def test_checkpoint_resume(tmp_path):
     nlp = toy_nlp()
     ckdir = str(tmp_path / "ck")
