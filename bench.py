@@ -133,7 +133,15 @@ def main():
         # bound) FAULTS the axon device at batch 32 (deterministic, passes at
         # batch 1 — see scripts/tpu_smoke.py); "eigh" runs everywhere.
         kkt_precision=os.environ.get("SQP_BENCH_PREC", "mixed_ir"),
-        hessian_shift=os.environ.get("SQP_BENCH_SHIFT", "eigh"),
+        # "ladder" (round 4): NO global eigenvalue shift — the KKT
+        # factorization's delta ladder does minimal inertia correction, the
+        # reference's Ipopt strategy.  The global shift was the hidden
+        # throughput killer at case118: a ~9x over-shift damped every late
+        # step (67 SQP iters vs 7 with ladder, and ladder lands exactly on
+        # the published optimum).  "eigh" stays the generic-NLP default in
+        # Parameters (small nonconvex HS problems need a true
+        # convexification).
+        hessian_shift=os.environ.get("SQP_BENCH_SHIFT", "ladder"),
         kkt_ir_steps=int(os.environ.get("SQP_BENCH_IR", "2")),
         schur_cap=int(os.environ.get("SQP_BENCH_SCHUR_CAP", "-1")),
         kkt_structured=structured,
@@ -234,7 +242,10 @@ def main():
         )
         n_schur = bs.P * part_schur_cap(bs)
         bbd_dims = (bs.P, bs.nd, bs.ns, bs.mr, n_schur)
-        shift_eff = "power"  # the structured path always uses the Lanczos bound
+        if shift_eff not in ("ladder", "gershgorin"):
+            # any eigenvalue-estimating mode dispatches to the matvec-only
+            # Lanczos bound on the structured path (sqp_tr._convexify_impl)
+            shift_eff = "power"
         log(f"bbd dims: P={bs.P} nd={bs.nd} ns={bs.ns} mr={bs.mr} "
             f"m_eq={bs.m_eq} n_schur={n_schur}")
     fb = fl.total_flops(

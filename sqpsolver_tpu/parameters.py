@@ -140,7 +140,14 @@ class Parameters:
     #: indefinite-Hessian convexification bound: "eigh" (exact smallest
     #: eigenvalue; compiles a large QR-iteration program), "power" (shifted
     #: power iteration, ~40 matvecs, near-exact — the TPU-friendly choice),
-    #: or "gershgorin" (one-pass circle bound; very conservative)
+    #: "gershgorin" (one-pass circle bound; very conservative), or "ladder"
+    #: (NO global shift — only the f32-factorability floor; the KKT
+    #: factorization's escalating-delta ladder regularizes per IPM
+    #: iteration, the inertia-correction strategy of the reference's Ipopt
+    #: backend.  A global -lambda_min shift can exceed the local curvature
+    #: scale near ACOPF optima and damp every late step: case118 cold start
+    #: measured 67 SQP iterations under "eigh" vs geometric-rate analysis
+    #: pointing at the ~9x over-shift; see sqp_tr._convexify_impl)
     hessian_shift: str = "eigh"
     #: Lanczos steps for the matvec-only lambda_min bound ("power" mode and
     #: the structured path).  0 = auto: min(n, 64).  A loose bound

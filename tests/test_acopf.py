@@ -65,6 +65,29 @@ def test_case118_published_optimum():
     _solve_and_pin("case118", 1e-4, 150)
 
 
+def test_case118_ladder_iteration_count():
+    """hessian_shift="ladder" (minimal inertia-correction via the KKT delta
+    ladder — the reference's Ipopt strategy) must hold its round-4 win on
+    case118: the global eigenvalue shift needed 67 SQP iterations from cold
+    (a ~9x curvature over-shift damps every late step to |p| ~ 0.01); the
+    ladder solves in 7 and lands on the published optimum to 1e-7 rel."""
+    from sqpsolver_tpu.models.matpower import VENDORED_OPTIMA, load_case
+
+    case = load_case("case118")
+    nlp = acopf_polar(case, scenario_batchable=False)
+    res = sqp.optimize(
+        nlp, PARAMS.replace(max_iter=40, hessian_shift="ladder")
+    )
+    assert res.success, res.status_name
+    # 7 iterations under kkt_precision="mixed_ir", 17 under this battery's
+    # default config — either way far below the eigh-shift's 67; bound
+    # loosely so precision-config drift doesn't flake the regression
+    assert int(res.iterations) <= 25, int(res.iterations)
+    np.testing.assert_allclose(
+        float(res.obj_val), VENDORED_OPTIMA["case118"], rtol=1e-4
+    )
+
+
 def _solve_and_pin(name, rtol, iters):
     from sqpsolver_tpu.models.matpower import VENDORED_OPTIMA, load_case
 

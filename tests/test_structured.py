@@ -180,6 +180,25 @@ def test_structured_case118_published_optimum():
     )
 
 
+def test_structured_case118_ladder():
+    """The "ladder" minimal-shift mode through the BBD structured backend:
+    same 7-iteration / published-optimum result as the dense path (round-4
+    win; see tests/test_acopf.py test_case118_ladder_iteration_count)."""
+    from sqpsolver_tpu.models.matpower import VENDORED_OPTIMA, load_case
+
+    nlp = acopf_polar(load_case("case118"), scenario_batchable=False)
+    params = sqp.Parameters(
+        max_iter=40, OutputFlag=0, tol_infeas=1e-6, tol_residual=1e-4,
+        use_soc=True, kkt_structured=True, hessian_shift="ladder",
+    )
+    res = sqp.optimize(nlp, params)
+    assert res.success, res.status_name
+    assert int(res.iterations) <= 15, int(res.iterations)
+    np.testing.assert_allclose(
+        float(res.obj_val), VENDORED_OPTIMA["case118"], rtol=1e-4
+    )
+
+
 def test_structured_case30x10_300bus():
     """Real-physics 300-bus solve through the BBD structured path — the
     capability scale of the reference's ma57-backed sparse KKT
