@@ -406,6 +406,172 @@ def acopf_rect(case: PowerCase, scenario_batchable: bool = True) -> NLP:
     )
 
 
+def acopf_ivr(case: PowerCase, scenario_batchable: bool = True) -> NLP:
+    """Current-voltage rectangular (IVR) formulation — parity with the
+    reference's IVR warm-start model (``examples/acopf/init_opf.jl:53-183``
+    initializes an ``IVRPowerModel``; PowerModels' build_opf_iv semantics).
+
+    Variables  x = [vr (nb), vi (nb), crg (ng), cig (ng)] — rectangular
+    voltages plus rectangular GENERATOR current injections.  Branch currents
+    are linear expressions  I_f = Y_ff V_f + Y_ft V_t  (substituted, not
+    lifted), generator power is the bilinear expression
+    ``S_g = V conj(I_g)``, and the bus *current* balance carries the
+    constant-power loads as the rational  I_d = conj(S_d / V) — the defining
+    trait of IVR.  Rows (linear first): ref-bus vi; current balance
+    (2 nb); generator P/Q windows on the bilinear expressions (2 ng);
+    voltage magnitude (nb); thermal limits as the quartic
+    ``|V_f|^2 |I_f|^2 <= rate^2`` (2 nl, PowerModels IVR semantics —
+    same feasible set as the polar |S_f|^2 form).
+    """
+    _require_plain(case, "acopf_ivr")
+    nb, ng, nl = case.nb, case.ng, case.nl
+    (gff, bff, gft, bft, gtf, btf, gtt, btt) = case.admittances()
+    gff, bff, gft, bft, gtf, btf, gtt, btt = (
+        jnp.asarray(a) for a in (gff, bff, gft, bft, gtf, btf, gtt, btt)
+    )
+    f_idx = jnp.asarray(case.br_f)
+    t_idx = jnp.asarray(case.br_t)
+    gs = jnp.asarray(case.bus_gs)
+    bs = jnp.asarray(case.bus_bs)
+    gen_bus = jnp.asarray(case.gen_bus)
+    cost = _objective(case)
+    n = 2 * nb + 2 * ng
+
+    has_rate = np.isfinite(case.br_rate) & (case.br_rate > 0)
+    rate2 = np.where(has_rate, case.br_rate**2, 1.0e4)
+
+    def split(x):
+        vr = x[:nb]
+        vi = x[nb : 2 * nb]
+        crg = x[2 * nb : 2 * nb + ng]
+        cig = x[2 * nb + ng :]
+        return vr, vi, crg, cig
+
+    def gen_power(x):
+        vr, vi, crg, cig = split(x)
+        vrg = vr[gen_bus]
+        vig = vi[gen_bus]
+        pg = vrg * crg + vig * cig  # Re  V conj(I_g)
+        qg = vig * crg - vrg * cig  # Im  V conj(I_g)
+        return pg, qg
+
+    def f(x, theta=None):
+        pg, _ = gen_power(x)
+        return cost(pg)
+
+    def g(x, theta=None):
+        vr, vi, crg, cig = split(x)
+        dt = x.dtype
+        pd = (
+            jnp.asarray(theta["pd"], dt)
+            if theta is not None
+            else jnp.asarray(case.bus_pd, dt)
+        )
+        qd = (
+            jnp.asarray(theta["qd"], dt)
+            if theta is not None
+            else jnp.asarray(case.bus_qd, dt)
+        )
+        Gff, Bff, Gft, Bft, Gtf, Btf, Gtt, Btt = (
+            a.astype(dt) for a in (gff, bff, gft, bft, gtf, btf, gtt, btt)
+        )
+        vrf, vrt = vr[f_idx], vr[t_idx]
+        vif, vit = vi[f_idx], vi[t_idx]
+        # branch terminal currents, LINEAR in v:  I_f = Yff Vf + Yft Vt,
+        # I_t = Ytt Vt + Ytf Vf (same admittance data as the ACP/ACR power
+        # forms — S_f = V_f conj(I_f) reproduces their p_f/q_f exactly)
+        cr_f = Gff * vrf - Bff * vif + Gft * vrt - Bft * vit
+        ci_f = Gff * vif + Bff * vrf + Gft * vit + Bft * vrt
+        cr_t = Gtt * vrt - Btt * vit + Gtf * vrf - Btf * vif
+        ci_t = Gtt * vit + Btt * vrt + Gtf * vif + Btf * vrf
+        v2 = vr * vr + vi * vi
+        # load current  I_d = conj(S_d / V) = (S_d^* V) / |V|^2
+        ird = (pd * vr + qd * vi) / v2
+        iid = (pd * vi - qd * vr) / v2
+        # shunt current  (gs + j bs) V
+        irs = gs.astype(dt) * vr - bs.astype(dt) * vi
+        iis = gs.astype(dt) * vi + bs.astype(dt) * vr
+        bal_r = (
+            jnp.zeros(nb, dt).at[gen_bus].add(crg)
+            - ird
+            - irs
+            - jnp.zeros(nb, dt).at[f_idx].add(cr_f)
+            - jnp.zeros(nb, dt).at[t_idx].add(cr_t)
+        )
+        bal_i = (
+            jnp.zeros(nb, dt).at[gen_bus].add(cig)
+            - iid
+            - iis
+            - jnp.zeros(nb, dt).at[f_idx].add(ci_f)
+            - jnp.zeros(nb, dt).at[t_idx].add(ci_t)
+        )
+        vrg = vr[gen_bus]
+        vig = vi[gen_bus]
+        pg = vrg * crg + vig * cig
+        qg = vig * crg - vrg * cig
+        vf2 = vrf * vrf + vif * vif
+        vt2 = vrt * vrt + vit * vit
+        s_from = vf2 * (cr_f * cr_f + ci_f * ci_f)  # == |S_f|^2
+        s_to = vt2 * (cr_t * cr_t + ci_t * ci_t)
+        return jnp.concatenate(
+            [vi[case.ref_bus][None], bal_r, bal_i, pg, qg, v2, s_from, s_to]
+        )
+
+    m = 1 + 2 * nb + 2 * ng + nb + 2 * nl
+    g_l = np.concatenate(
+        [
+            np.zeros(1),
+            np.zeros(2 * nb),
+            case.gen_pmin,
+            case.gen_qmin,
+            case.bus_vmin**2,
+            np.full(2 * nl, -INF),
+        ]
+    )
+    g_u = np.concatenate(
+        [
+            np.zeros(1),
+            np.zeros(2 * nb),
+            case.gen_pmax,
+            case.gen_qmax,
+            case.bus_vmax**2,
+            rate2,
+            rate2,
+        ]
+    )
+
+    pg0, qg0 = _start_point(case, n)
+    # flat voltage start V = 1 + 0j  =>  I_g = conj(S_g / V) = pg0 - j qg0
+    x0 = np.concatenate([np.ones(nb), np.zeros(nb), pg0, -qg0])
+    x_l = np.full(n, -INF)
+    x_u = np.full(n, INF)
+
+    theta = (
+        {"pd": np.asarray(case.bus_pd), "qd": np.asarray(case.bus_qd)}
+        if scenario_batchable
+        else None
+    )
+    if not scenario_batchable:
+        f_fn, g_fn = (lambda x: f(x, None)), (lambda x: g(x, None))
+    else:
+        f_fn, g_fn = f, g
+
+    return NLP(
+        f=f_fn,
+        g=g_fn,
+        n=n,
+        m=m,
+        x_l=x_l,
+        x_u=x_u,
+        g_l=g_l,
+        g_u=g_u,
+        x0=x0,
+        num_linear=1,
+        theta=theta,
+        name=f"acopf_ivr_{case.name}",
+    )
+
+
 def acopf_wr(case: PowerCase, scenario_batchable: bool = True) -> NLP:
     """W-space rectangular (ACWR) formulation — parity with the reference's
     custom ``ACWRPowerModel`` (examples/acopf/acwr.jl:22-35).

@@ -101,6 +101,28 @@ def _solve_and_pin(name, rtol, iters):
     )
 
 
+def test_ivr_matches_polar():
+    """IVR (current-voltage rectangular) formulation parity — the
+    reference's fourth named formulation (examples/acopf/init_opf.jl:53-183
+    initializes an IVRPowerModel; the reference never SOLVES it, we do).
+    The polar optimum converted to IVR variables is feasible to ~1e-13 with
+    the identical objective (exact model equivalence, verified in round 4);
+    the solved gap vs polar reflects IVR's rational current-balance scaling
+    against the reference-config 1e-4 dual tolerance, so the pin is 2e-3."""
+    from sqpsolver_tpu.models.acopf import acopf_ivr
+    from sqpsolver_tpu.models.matpower import load_case
+
+    for case in (case9(), load_case("case30")):
+        res_p = sqp.optimize(acopf_polar(case, scenario_batchable=False), PARAMS)
+        res_i = sqp.optimize(acopf_ivr(case, scenario_batchable=False), PARAMS)
+        assert res_i.success, f"{case.name}: {res_i.status_name}"
+        assert float(res_i.prim_infeas) < 1e-6
+        np.testing.assert_allclose(
+            float(res_i.obj_val), float(res_p.obj_val), rtol=2e-3,
+            err_msg=case.name,
+        )
+
+
 def test_case9_rect_matches_polar():
     case = case9()
     res_p = sqp.optimize(acopf_polar(case, scenario_batchable=False), PARAMS)
