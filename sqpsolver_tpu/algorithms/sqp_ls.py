@@ -168,6 +168,13 @@ def make_ls_solver(
             return _convexify_impl(H)
 
     def _convexify_impl(H):
+        if params.hessian_shift == "ladder":
+            # minimal-shift mode (see sqp_tr._convexify_impl): only the
+            # f32-factorability floor; the KKT delta ladder does the
+            # inertia correction per interior-point iteration
+            off = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(jnp.diagonal(H))
+            scale = 1.0 + jnp.max(jnp.abs(jnp.diagonal(H)) + off, initial=0.0)
+            return H + (4.0e-7 * scale) * jnp.eye(n, dtype=dtype)
         if params.hessian_shift == "gershgorin":
             # lambda_min >= min_i (H_ii - sum_{j != i} |H_ij|): conservative
             # (can over-shift by orders of magnitude -> damped steps) but a
