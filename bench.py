@@ -164,9 +164,15 @@ def main():
     )
     log(f"chunked={chunked}")
 
+    # device-batch cap: a COLD batched SQP iteration at case30 b256 costs
+    # ~15 s on v5e, so b1024 would cross the 60 s watchdog inside ONE
+    # iteration; slices share a compiled program and the chip is
+    # throughput-bound at these sizes (batch.make_chunked_batch_solver)
+    sub_batch = int(os.environ.get("SQP_BENCH_SUBBATCH", "128"))
+
     def build_solver():
         if chunked:
-            return make_chunked_batch_solver(nlp, params)
+            return make_chunked_batch_solver(nlp, params, sub_batch=sub_batch)
         return make_batch_solver(nlp, params)
 
     solver = build_solver()

@@ -67,8 +67,9 @@ def make_chunked_batch_solver(
     params: Parameters = Parameters(),
     *,
     target_chunk_seconds: float = 20.0,
-    chunk0: int = 2,
+    chunk0: int = 1,
     max_chunk: int = 64,
+    sub_batch: int = 0,
 ) -> Callable[[NLPData], SqpResult]:
     """Batched solver advanced in host-controlled chunks of outer iterations.
 
@@ -93,6 +94,13 @@ def make_chunked_batch_solver(
     * the checkpoint/resume cut points (utils/checkpoint.py uses the same
       `run_until` contract), and
     * a future lane-repacking hook at chunk boundaries.
+
+    ``sub_batch``: maximum device batch per call.  Measured on v5e: a COLD
+    SQP iteration at case30 b256 costs ~15 s (the first QPs take ~38 IPM
+    trips), so at b1024 even a ONE-iteration chunk would cross the 60 s
+    watchdog.  At these sizes the chip is throughput-bound — splitting a
+    big batch into equal slices solved sequentially loses nothing, and all
+    slices share one compiled program (same shapes).  0 = no split.
     """
     solver = make_solver(nlp, params, verbose=False)
     init_b = jax.jit(jax.vmap(solver._init_state))
@@ -100,7 +108,7 @@ def make_chunked_batch_solver(
     fin_b = jax.jit(jax.vmap(solver._finalize))
     max_iter = params.max_iter
 
-    def solve(data: NLPData) -> SqpResult:
+    def solve_slice(data: NLPData) -> SqpResult:
         import time as _time
 
         st = init_b(data)
@@ -124,6 +132,20 @@ def make_chunked_batch_solver(
             k = int(np.clip(target_chunk_seconds / max(per_iter, 1e-4),
                             1, max_chunk))
         return fin_b(st, data)
+
+    def solve(data: NLPData) -> SqpResult:
+        B = int(data.x0.shape[0])
+        if not sub_batch or B <= sub_batch:
+            return solve_slice(data)
+        if B % sub_batch:
+            raise ValueError(
+                f"batch {B} not divisible by sub_batch {sub_batch}"
+            )
+        outs = [
+            solve_slice(jax.tree.map(lambda a: a[i : i + sub_batch], data))
+            for i in range(0, B, sub_batch)
+        ]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
     return solve
 

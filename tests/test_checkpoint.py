@@ -46,15 +46,21 @@ def test_adaptive_chunked_batch_matches_monolithic():
     chunked = make_chunked_batch_solver(
         nlp, params, target_chunk_seconds=1e9, chunk0=3
     )(data)
-    np.testing.assert_array_equal(
-        np.asarray(mono.status), np.asarray(chunked.status)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(mono.iterations), np.asarray(chunked.iterations)
-    )
-    np.testing.assert_allclose(
-        np.asarray(mono.x), np.asarray(chunked.x), rtol=1e-12, atol=1e-14
-    )
+    # sub-batch splitting (watchdog cap on the device batch): slices share
+    # shapes/compiles, results concatenate in order
+    split = make_chunked_batch_solver(
+        nlp, params, target_chunk_seconds=1e9, chunk0=3, sub_batch=3
+    )(data)
+    for other in (chunked, split):
+        np.testing.assert_array_equal(
+            np.asarray(mono.status), np.asarray(other.status)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mono.iterations), np.asarray(other.iterations)
+        )
+        np.testing.assert_allclose(
+            np.asarray(mono.x), np.asarray(other.x), rtol=1e-12, atol=1e-14
+        )
 
 
 def test_checkpoint_resume(tmp_path):
