@@ -167,8 +167,12 @@ def main():
     # device-batch cap: a COLD batched SQP iteration at case30 b256 costs
     # ~15 s on v5e, so b1024 would cross the 60 s watchdog inside ONE
     # iteration; slices share a compiled program and the chip is
-    # throughput-bound at these sizes (batch.make_chunked_batch_solver)
-    sub_batch = int(os.environ.get("SQP_BENCH_SUBBATCH", "128"))
+    # throughput-bound at these sizes (batch.make_chunked_batch_solver).
+    # Structured case118 cold iterations are ~4-8x dearer than dense —
+    # default the cap lower there.
+    sub_batch = int(
+        os.environ.get("SQP_BENCH_SUBBATCH", "8" if structured else "128")
+    )
 
     def build_solver():
         if chunked:
