@@ -419,9 +419,11 @@ class BbdOperator:
         self.Hf = jax.tree.map(lambda a: a.astype(self.fdtype), H)
         self.cap_p = part_schur_cap(maps.bs)
 
-    def rescue_op(self):
+    def rescue_op(self, keep_cap: bool = False):
         """Same blocks, full-precision factors — the structured analog of the
-        dense stall-rescue swap (qp_ipm._solve_qp_impl do_polish block)."""
+        dense stall-rescue swap (qp_ipm._solve_qp_impl do_polish block).
+        ``keep_cap`` is accepted for interface parity; the BBD stiff set is
+        always bounded per part (cap_p), so there is nothing to lift."""
         import dataclasses
 
         return BbdOperator(

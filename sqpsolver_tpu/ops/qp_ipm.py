@@ -200,13 +200,19 @@ class DenseOp:
     def stiff_allowed(self):
         return jnp.ones((self.A.shape[0],), bool)
 
-    def rescue_op(self):
-        """Full-precision twin for the f64 stall-rescue phase: direct
-        factors, full Schur set, no f32 plane."""
+    def rescue_op(self, keep_cap: bool = False):
+        """Full-precision twin for the f64 phase-2 loop: direct factors, no
+        f32 plane.  ``keep_cap=True`` (the STALL-RESCUE use) retains the
+        bounded Schur set: an uncapped rescue factors a dense (m, m) system
+        in emulated f64 — at case118 b16 that is seconds per IPM trip and a
+        rescue-heavy chunk crosses the 60 s execution watchdog.  The
+        strict-tolerance mixed_polish phase lifts the cap (False) so
+        nothing blocks 1e-8-grade dual accuracy."""
         return DenseOp(
             self.Q, self.A,
             dataclasses.replace(
-                self.opts, factor_dtype="same", plane=False, schur_cap=0
+                self.opts, factor_dtype="same", plane=False,
+                schur_cap=self.opts.schur_cap if keep_cap else 0,
             ),
             self.dtype,
         )
@@ -1144,7 +1150,15 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
         # backend-generic: every operator supplies its own full-precision
         # twin (DenseOp -> direct f64 factors; BbdOperator -> f64 block
         # factors), so the stall rescue covers the structured path too.
-        loop_cfg["op"] = loop_cfg["op"].rescue_op()
+        #
+        # Schur-cap policy (see DenseOp.rescue_op): the STALL-RESCUE use
+        # (tol at/above the mixed floor) keeps the bounded Schur set — an
+        # uncapped f64 (m, m) factorization per trip is seconds of emulated
+        # f64 at case118 scale and a rescue-heavy chunk crosses the 60 s
+        # execution watchdog; the strict mixed_polish use (tol below the
+        # floor) lifts the cap for full dual accuracy.
+        strict_polish = float(opts.tol) < _POLISH_FLOOR
+        loop_cfg["op"] = loop_cfg["op"].rescue_op(keep_cap=not strict_polish)
         tol_p2 = jnp.asarray(opts.tol, dtype)
         if tol_override is not None:
             # the inexact-SQP relaxation applies to BOTH phases: a lane the
@@ -1153,7 +1167,7 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
             tol_p2 = jnp.maximum(tol_p2, jnp.asarray(tol_override, dtype))
         loop_cfg["tol"] = tol_p2
         loop_cfg["max_iter"] = opts.max_iter + opts.polish_iters
-        loop_cfg["cap"] = 0
+        loop_cfg["cap"] = 0 if strict_polish else opts.schur_cap
         loop_cfg["guard"] = False
         tol_s = tol_p2
         strict = jnp.logical_and(
