@@ -176,7 +176,9 @@ def main():
 
     def build_solver():
         if chunked:
-            return make_chunked_batch_solver(nlp, params, sub_batch=sub_batch)
+            return make_chunked_batch_solver(
+                nlp, params, sub_batch=sub_batch, log=log
+            )
         return make_batch_solver(nlp, params)
 
     solver = build_solver()

@@ -70,6 +70,7 @@ def make_chunked_batch_solver(
     chunk0: int = 1,
     max_chunk: int = 64,
     sub_batch: int = 0,
+    log: Callable[[str], None] | None = None,
 ) -> Callable[[NLPData], SqpResult]:
     """Batched solver advanced in host-controlled chunks of outer iterations.
 
@@ -111,8 +112,11 @@ def make_chunked_batch_solver(
     def solve_slice(data: NLPData) -> SqpResult:
         import time as _time
 
+        t0 = _time.time()
         st = init_b(data)
         jax.block_until_ready(st.x)
+        if log:
+            log(f"chunked: init {_time.time() - t0:.1f}s")
         k = max(1, int(chunk0))
         while True:
             it = np.asarray(st.iter)
@@ -121,6 +125,9 @@ def make_chunked_batch_solver(
                 break
             hi = int(it[~done].max()) if bool((~done).any()) else int(it.max())
             limit = min(hi + k - 1, max_iter)
+            if log:
+                log(f"chunked: -> limit {limit} (k={k}, "
+                    f"{int(done.sum())}/{done.size} done)")
             t0 = _time.time()
             st = run_b(st, data, jnp.asarray(limit, jnp.int32))
             jax.block_until_ready(st.x)
@@ -128,6 +135,9 @@ def make_chunked_batch_solver(
             new_it = np.asarray(st.iter)
             adv = max(int(new_it.max()) - int(it.max()), 1)
             per_iter = dt / adv
+            if log:
+                log(f"chunked: chunk ran {dt:.1f}s ({adv} iters, "
+                    f"{per_iter:.2f}s/iter)")
             # adapt toward the target, never past the watchdog margin
             k = int(np.clip(target_chunk_seconds / max(per_iter, 1e-4),
                             1, max_chunk))
