@@ -118,6 +118,7 @@ def make_chunked_batch_solver(
         if log:
             log(f"chunked: init {_time.time() - t0:.1f}s")
         k = max(1, int(chunk0))
+        per_iter_worst = 0.0
         while True:
             it = np.asarray(st.iter)
             done = np.asarray(st.done)
@@ -138,9 +139,22 @@ def make_chunked_batch_solver(
             if log:
                 log(f"chunked: chunk ran {dt:.1f}s ({adv} iters, "
                     f"{per_iter:.2f}s/iter)")
-            # adapt toward the target, never past the watchdog margin
-            k = int(np.clip(target_chunk_seconds / max(per_iter, 1e-4),
-                            1, max_chunk))
+            # adapt toward the target with TWO safeguards against the 60 s
+            # watchdog: size by the WORST per-iteration cost seen (iteration
+            # cost is strongly non-uniform — a cold first QP measured 22.7 s
+            # against 1.0 s steady-state, and a rescue-heavy endgame
+            # iteration can spike again), and never more than double the
+            # last chunk (so one cheap chunk cannot launch a 19-iteration
+            # overshoot — the failure observed at case118 b16).
+            # decayed worst: the cold-start spike must not pin k at 1 for
+            # the whole solve, so the memory halves per chunk — recovery to
+            # steady-state sizing in a few chunks, still conservative
+            per_iter_worst = max(per_iter, 0.5 * per_iter_worst)
+            k = int(np.clip(
+                target_chunk_seconds / max(per_iter_worst, 1e-4),
+                1,
+                min(2 * k, max_chunk),
+            ))
         return fin_b(st, data)
 
     def solve(data: NLPData) -> SqpResult:
