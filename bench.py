@@ -159,9 +159,16 @@ def main():
     # make_chunked_batch_solver docstring) — large batches and case118+
     # never finish in one call.  Chunking costs ~ms/chunk of host round-trip.
     chunked_env = os.environ.get("SQP_BENCH_CHUNKED", "")
-    chunked = (
-        platform != "cpu" if chunked_env == "" else chunked_env == "1"
-    )
+    if chunked_env == "":
+        # auto: chunk only where a monolithic batched run could cross the
+        # 60 s watchdog (measured: case30 b32 dense runs ~6 s monolithic —
+        # chunking's ~0.2-0.3 s axon round-trip per chunk would only slow
+        # it; case118/big-batch/structured runs all crossed 60 s).
+        chunked = platform != "cpu" and (
+            nbus >= 118 or batch > 32 or structured
+        )
+    else:
+        chunked = chunked_env == "1"
     log(f"chunked={chunked}")
 
     # device-batch cap: a COLD batched SQP iteration at case30 b256 costs
@@ -209,10 +216,14 @@ def main():
     log(f"batched: {total_iters} SQP iters in {t_batched:.3f}s "
         f"-> {batched_rate:.1f} iter/s")
 
-    # serial baseline: same solver, one instance at a time (the reference's
-    # execution model), measured on a subsample and scaled
+    # serial baseline: one instance at a time (the reference's execution
+    # model), measured on a subsample and scaled.  MONOLITHIC path: a
+    # single-lane solve is far under the 60 s watchdog at every benched
+    # size, and the chunked host loop's ~0.2-0.3 s axon round-trip per
+    # chunk would handicap the baseline (measured: serial case30 24.2 ->
+    # 15.3 iter/s under chunking).
     n_serial = min(4, batch)
-    serial_solver = build_solver()  # batch=1 via slicing
+    serial_solver = make_batch_solver(nlp, params)  # batch=1 via slicing
     one = jax.tree.map(lambda a: a[:1], data)
     o = serial_solver(one)
     jax.block_until_ready(o.x)  # compile

@@ -119,6 +119,7 @@ def make_chunked_batch_solver(
             log(f"chunked: init {_time.time() - t0:.1f}s")
         k = max(1, int(chunk0))
         per_iter_worst = 0.0
+        first_chunk = True
         while True:
             it = np.asarray(st.iter)
             done = np.asarray(st.done)
@@ -139,22 +140,32 @@ def make_chunked_batch_solver(
             if log:
                 log(f"chunked: chunk ran {dt:.1f}s ({adv} iters, "
                     f"{per_iter:.2f}s/iter)")
-            # adapt toward the target with TWO safeguards against the 60 s
-            # watchdog: size by the WORST per-iteration cost seen (iteration
-            # cost is strongly non-uniform — a cold first QP measured 22.7 s
-            # against 1.0 s steady-state, and a rescue-heavy endgame
-            # iteration can spike again), and never more than double the
-            # last chunk (so one cheap chunk cannot launch a 19-iteration
-            # overshoot — the failure observed at case118 b16).
-            # decayed worst: the cold-start spike must not pin k at 1 for
-            # the whole solve, so the memory halves per chunk — recovery to
-            # steady-state sizing in a few chunks, still conservative
-            per_iter_worst = max(per_iter, 0.5 * per_iter_worst)
-            k = int(np.clip(
-                target_chunk_seconds / max(per_iter_worst, 1e-4),
-                1,
-                min(2 * k, max_chunk),
-            ))
+            # Adapt against the 60 s watchdog with three safeguards:
+            # * the FIRST chunk's wall time includes the one-off jit compile
+            #   (observed 199 s for a 3 s chunk) — never learn from it;
+            # * size by a decayed-worst per-iteration cost (iteration cost
+            #   is strongly non-uniform: cold QPs and rescue-heavy endgame
+            #   iterations spike well above steady state), halving per
+            #   chunk so a one-off spike doesn't pin k at 1 forever;
+            # * growth capped at 4x per chunk so one cheap chunk cannot
+            #   launch a huge overshoot (a 1->19 jump crossed the watchdog
+            #   at case118 b16), with the projection bounded to ~25 s so a
+            #   2x per-iteration spike inside a chunk still fits.
+            if first_chunk:
+                first_chunk = False
+            else:
+                per_iter_worst = (
+                    max(per_iter, 0.5 * per_iter_worst)
+                    if per_iter_worst > 0.0
+                    else per_iter
+                )
+            if per_iter_worst > 0.0:
+                k = int(np.clip(
+                    min(target_chunk_seconds, 25.0)
+                    / max(per_iter_worst, 1e-4),
+                    1,
+                    min(4 * k, max_chunk),
+                ))
         return fin_b(st, data)
 
     def solve(data: NLPData) -> SqpResult:
