@@ -96,12 +96,18 @@ def make_chunked_batch_solver(
       `run_until` contract), and
     * a future lane-repacking hook at chunk boundaries.
 
-    ``sub_batch``: maximum device batch per call.  Measured on v5e: a COLD
-    SQP iteration at case30 b256 costs ~15 s (the first QPs take ~38 IPM
+    ``sub_batch``: device slab width.  Measured on v5e: a COLD SQP
+    iteration at case30 b256 costs ~15 s (the first QPs take ~38 IPM
     trips), so at b1024 even a ONE-iteration chunk would cross the 60 s
-    watchdog.  At these sizes the chip is throughput-bound — splitting a
-    big batch into equal slices solved sequentially loses nothing, and all
-    slices share one compiled program (same shapes).  0 = no split.
+    watchdog.  At these sizes the chip is throughput-bound — processing
+    the batch through a fixed-width slab loses nothing and ONE compiled
+    program serves any batch size.  With a slab, lanes are scheduled as a
+    WORK QUEUE: each round gathers up to ``sub_batch`` still-active lanes
+    (padded with done lanes whose QPs skip at trip 0), advances them one
+    chunk, and scatters the state back.  This also kills the straggler
+    tax: a batched `lax.while_loop` runs max-over-lanes trips at full
+    width, and one rescue-heavy lane was measured costing 10-24 s per
+    iteration with 127/128 lanes done riding along.  0 = full width.
     """
     solver = make_solver(nlp, params, verbose=False)
     init_b = jax.jit(jax.vmap(solver._init_state))
@@ -109,33 +115,78 @@ def make_chunked_batch_solver(
     fin_b = jax.jit(jax.vmap(solver._finalize))
     max_iter = params.max_iter
 
-    def solve_slice(data: NLPData) -> SqpResult:
+    @jax.jit
+    def _gather(tree, idx):
+        return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), tree)
+
+    @jax.jit
+    def _scatter(full, slab, idx):
+        return jax.tree.map(
+            lambda f, s: f.at[idx].set(s), full, slab
+        )
+
+    def solve(data: NLPData) -> SqpResult:
         import time as _time
 
+        B = int(data.x0.shape[0])
+        W = min(sub_batch, B) if sub_batch else B
+
         t0 = _time.time()
-        st = init_b(data)
+        if W == B:
+            st = init_b(data)
+        else:
+            # init through the same width-W program (one compile): process
+            # lanes in W-slabs (init is cheap — clip + one obj/cons eval)
+            idx_all = np.arange(B)
+            slabs = []
+            for i in range(0, B, W):
+                sel = idx_all[i : i + W]
+                if len(sel) < W:  # pad by repeating the last lane
+                    sel = np.concatenate(
+                        [sel, np.full(W - len(sel), sel[-1])]
+                    )
+                slabs.append((sel, init_b(_gather(data, jnp.asarray(sel)))))
+            st = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0)[:B],
+                *[s for _, s in slabs],
+            ) if len(slabs) > 1 else slabs[0][1]
         jax.block_until_ready(st.x)
         if log:
-            log(f"chunked: init {_time.time() - t0:.1f}s")
+            log(f"chunked: init {_time.time() - t0:.1f}s (B={B}, W={W})")
+
         k = max(1, int(chunk0))
         per_iter_worst = 0.0
         first_chunk = True
         while True:
             it = np.asarray(st.iter)
             done = np.asarray(st.done)
-            if bool(np.all(done)) or int(it.max()) > max_iter:
+            active = np.where(~done & (it <= max_iter))[0]
+            if active.size == 0:
                 break
-            hi = int(it[~done].max()) if bool((~done).any()) else int(it.max())
+            # work queue: the W least-advanced active lanes form the slab
+            # (keeps lane progress roughly level so the batch drains
+            # together); pad with done lanes — their QPs skip at trip 0
+            order = active[np.argsort(it[active], kind="stable")]
+            sel = order[:W]
+            if sel.size < W:
+                pad_pool = np.setdiff1d(np.arange(B), sel)
+                sel = np.concatenate([sel, pad_pool[: W - sel.size]])
+            sel_d = jnp.asarray(np.sort(sel))
+            st_slab = _gather(st, sel_d)
+            d_slab = _gather(data, sel_d)
+            hi = int(it[sel].min())
             limit = min(hi + k - 1, max_iter)
             if log:
                 log(f"chunked: -> limit {limit} (k={k}, "
-                    f"{int(done.sum())}/{done.size} done)")
+                    f"{int(done.sum())}/{B} done, slab {sel.size})")
             t0 = _time.time()
-            st = run_b(st, data, jnp.asarray(limit, jnp.int32))
-            jax.block_until_ready(st.x)
+            st_slab = run_b(st_slab, d_slab, jnp.asarray(limit, jnp.int32))
+            jax.block_until_ready(st_slab.x)
             dt = _time.time() - t0
-            new_it = np.asarray(st.iter)
-            adv = max(int(new_it.max()) - int(it.max()), 1)
+            st = _scatter(st, st_slab, sel_d)
+            adv = max(
+                int(np.asarray(st_slab.iter).max()) - int(it[sel].max()), 1
+            )
             per_iter = dt / adv
             if log:
                 log(f"chunked: chunk ran {dt:.1f}s ({adv} iters, "
@@ -167,20 +218,6 @@ def make_chunked_batch_solver(
                     min(4 * k, max_chunk),
                 ))
         return fin_b(st, data)
-
-    def solve(data: NLPData) -> SqpResult:
-        B = int(data.x0.shape[0])
-        if not sub_batch or B <= sub_batch:
-            return solve_slice(data)
-        if B % sub_batch:
-            raise ValueError(
-                f"batch {B} not divisible by sub_batch {sub_batch}"
-            )
-        outs = [
-            solve_slice(jax.tree.map(lambda a: a[i : i + sub_batch], data))
-            for i in range(0, B, sub_batch)
-        ]
-        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
     return solve
 
