@@ -63,14 +63,18 @@ def main():
     init_b = jax.vmap(solver._init_state)
     st = aot("init", init_b, data)
     run_b = jax.vmap(solver._run_until, in_axes=(0, 0, None))
-    for c in range(3):
-        limit = jnp.asarray(int(np.asarray(st.iter).max()) + k - 1, jnp.int32)
+    for c in range(80):
+        it = np.asarray(st.iter)
+        done = np.asarray(st.done)
+        if done.all() or int(it.max()) > params.max_iter:
+            break
+        limit = jnp.asarray(int(it[~done].min()) + k - 1, jnp.int32)
         st = aot(f"chunk{c}(k={k})", run_b, st, data, limit)
         done = np.asarray(st.done)
         print(f"  done {int(done.sum())}/{batch} "
-              f"itmax {int(np.asarray(st.iter).max())}", flush=True)
-        if done.all():
-            break
+              f"itmax {int(np.asarray(st.iter).max())} "
+              f"qp_trips {int(np.asarray(st.qp_iters_total).sum())}",
+              flush=True)
     fin_b = jax.vmap(solver._finalize)
     out = aot("finalize", fin_b, st, data)
     status = np.asarray(out.status)
