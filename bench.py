@@ -143,6 +143,13 @@ def main():
         # convexification).
         hessian_shift=os.environ.get("SQP_BENCH_SHIFT", "ladder"),
         kkt_ir_steps=int(os.environ.get("SQP_BENCH_IR", "2")),
+        # rescue OFF by default on the bench: the f64 stall-rescue phase
+        # factors in EMULATED f64 on TPU, and under batched max-over-lanes
+        # semantics one rescue-bound lane drags every lane through those
+        # trips (measured: case30 b32 ladder 1.9 s/batched-iter with rescue
+        # vs 28 iter/s serial; CPU validates 32/32 convergence without it —
+        # a stalled QP takes the TR-halving retry path, PARITY.md #13)
+        qp_rescue=os.environ.get("SQP_BENCH_RESCUE", "0") == "1",
         schur_cap=int(os.environ.get("SQP_BENCH_SCHUR_CAP", "-1")),
         kkt_structured=structured,
         # ACOPF starts are linear-feasible (ref-angle row at 0): skip the

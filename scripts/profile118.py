@@ -92,9 +92,9 @@ def main():
     print(f"eigh f32 (b,{n},{n}): {t*1e3:8.1f} ms", flush=True)
 
     # ---- (3) one batched QP at representative data, by ir_steps -----------
-    f, df = jax.vmap(nlp.obj_grad, (0, None))(xB, theta)
-    E = jax.vmap(nlp.cons, (0, None))(xB, theta)
-    J = jax.vmap(nlp.cons_jac, (0, None))(xB, theta)
+    f, df = jax.vmap(nlp.obj_grad)(xB, theta)
+    E = jax.vmap(nlp.cons)(xB, theta)
+    J = jax.vmap(nlp.cons_jac)(xB, theta)
     Hq = jnp.broadcast_to(
         jnp.asarray(H0 @ H0.T / n + 10.0 * np.eye(n)), (batch, n, n)
     )
