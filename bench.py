@@ -184,14 +184,22 @@ def main():
     # throughput-bound at these sizes (batch.make_chunked_batch_solver).
     # Structured case118 cold iterations are ~4-8x dearer than dense —
     # default the cap lower there.
+    rescue_on = os.environ.get("SQP_BENCH_RESCUE", "0") == "1"
     sub_batch = int(
-        os.environ.get("SQP_BENCH_SUBBATCH", "8" if structured else "128")
+        os.environ.get(
+            "SQP_BENCH_SUBBATCH",
+            # rescue-heavy iterations at case118 b16 measured ~35 s (38
+            # trips x ~0.9 s f64-factor trips); halving the slab keeps even
+            # a worst-case single iteration clear of the 60 s watchdog
+            "8" if (structured or (rescue_on and nbus >= 118)) else "128",
+        )
     )
 
     def build_solver():
         if chunked:
             return make_chunked_batch_solver(
-                nlp, params, sub_batch=sub_batch, log=log
+                nlp, params, sub_batch=sub_batch, log=log,
+                rescue_fallback=not params.qp_rescue,
             )
         return make_batch_solver(nlp, params)
 
@@ -220,8 +228,15 @@ def main():
     t_batched = (time.time() - t0) / reps
     total_iters = int(np.asarray(out.iterations).sum())
     batched_rate = total_iters / t_batched
+    # solves/s is the honest cross-config metric: iteration economics vary
+    # by algorithm config (the ladder shift solves case118 in 7 iterations
+    # where the eigh shift takes 67 — iter/s alone would reward the slower
+    # config), so time-to-solution per converged instance decides.
+    n_ok = int(np.isin(np.asarray(out.status), [0, 1, 6]).sum())
+    solve_rate = n_ok / t_batched
     log(f"batched: {total_iters} SQP iters in {t_batched:.3f}s "
-        f"-> {batched_rate:.1f} iter/s")
+        f"-> {batched_rate:.1f} iter/s; {n_ok} solves -> "
+        f"{solve_rate:.2f} solves/s")
 
     # serial baseline: one instance at a time (the reference's execution
     # model), measured on a subsample and scaled.  MONOLITHIC path: a
@@ -245,8 +260,10 @@ def main():
         serial_status.append(int(np.asarray(o.status)[0]))
     t_serial = time.time() - t0
     serial_rate = iters_serial / t_serial
+    serial_solve_rate = n_serial / t_serial
     log(f"serial: {iters_serial} SQP iters in {t_serial:.3f}s "
-        f"-> {serial_rate:.1f} iter/s  status={serial_status}")
+        f"-> {serial_rate:.1f} iter/s; {serial_solve_rate:.2f} solves/s  "
+        f"status={serial_status}")
     if not all(s in (0, 1, 6) for s in serial_status):
         log("WARNING: serial baseline lanes did not converge - "
             "vs_baseline is not meaningful")
@@ -307,6 +324,11 @@ def main():
                 "value": round(batched_rate, 2),
                 "unit": "SQP-iter/s",
                 "vs_baseline": round(vs, 2),
+                "solves_per_sec": round(solve_rate, 3),
+                "n_converged": n_ok,
+                "vs_baseline_solves": round(
+                    solve_rate / serial_solve_rate, 2
+                ) if serial_solve_rate > 0 else 0.0,
                 "mfu": round(mfu, 6),
                 "mfu_f32_eff": round(mfu * fl.F32_PASSES, 6),
                 "analytic_tflops_per_s": round(achieved / 1e12, 4),

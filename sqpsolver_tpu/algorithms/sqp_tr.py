@@ -470,7 +470,7 @@ def make_solver(
         return jnp.where(jnp.isfinite(phi), phi, jnp.asarray(jnp.inf, dtype))
 
     # ---------------------------------------------------------- QP solves ---
-    def convexify(H):
+    def convexify(H, sqp_iter=None):
         """Shift an indefinite Lagrangian Hessian to PSD:
         H + max(0, -lambda_min + eps) I.
 
@@ -480,13 +480,16 @@ def make_solver(
         point p* -> 0, so the convexified QP's multipliers converge to the
         true NLP multipliers (shift * p -> 0) and the q-model/pred ratio still
         uses the ORIGINAL H (compute_qmodel parity, sqp_trust_region.jl:487).
+
+        ``sqp_iter`` (traced scalar; "ladder" mode only): continuation on
+        the regularization floor — see _convexify_impl.
         """
         if not exact_hessian:
             return H
         # true f32 products: TPU matmuls default to bfloat16 passes, which
         # degrades the shift estimate below usable accuracy
         with jax.default_matmul_precision("float32"):
-            return _convexify_impl(H)
+            return _convexify_impl(H, sqp_iter)
 
     def _gershgorin_data(H):
         """(diag, off-diagonal |row| sums) — backend-generic."""
@@ -496,10 +499,10 @@ def make_solver(
         diag = jnp.diagonal(H)
         return diag, jnp.sum(jnp.abs(H), axis=1) - jnp.abs(diag)
 
-    def _convexify_impl(H):
+    def _convexify_impl(H, sqp_iter=None):
         if params.hessian_shift == "ladder":
             # Minimal-shift mode: do NOT estimate lambda_min at all — apply
-            # only the tiny f32-factorability floor and let the KKT
+            # only a small factorability floor and let the KKT
             # factorization's escalating-delta ladder (ops/linsolve
             # factorize_spd, ops/kkt_bbd.bbd_factorize) regularize K = H +
             # D_p + A' E^-1 A per interior-point iteration.  This is the
@@ -514,9 +517,25 @@ def make_solver(
             # iterations); the TR box keeps the nonconvex QP bounded, and
             # the merit test rejects any ascent direction the nonconvex QP
             # might produce.
+            #
+            # CONTINUATION on the floor (round 4): at a heavily infeasible
+            # cold start the minimal floor leaves K's conditioning beyond
+            # what an f32 factorization can solve AT ALL — case118 lanes
+            # stalled in the f32 phase and needed the (expensive on TPU)
+            # f64 rescue on every early QP.  Starting the floor at 1e-2 x
+            # scale (eigh-shift-like damping, f32-friendly) and decaying
+            # 4x per SQP iteration to the 4e-7 terminal floor gives the
+            # early iterations Levenberg-damped f32-solvable systems and
+            # the endgame the minimal shift that makes the ladder fast.
             diag_g, off_g = _gershgorin_data(H)
             scale = 1.0 + jnp.max(jnp.abs(diag_g) + off_g, initial=0.0)
-            floor = 4.0e-7 * scale
+            if sqp_iter is None:
+                floor = 4.0e-7 * scale
+            else:
+                it = jnp.maximum(sqp_iter.astype(dtype) - 1.0, 0.0)
+                floor = scale * jnp.maximum(
+                    4.0e-7, 1.0e-2 * jnp.power(0.25, it)
+                )
             if structured:
                 return maps.h_add_diag(H, floor)
             return H + floor * jnp.eye(n, dtype=dtype)
@@ -816,7 +835,7 @@ def make_solver(
         )
 
         # 2. QP subproblem + dual/penalty bookkeeping (compute_step!, :370-380)
-        H_qp = convexify(st.H)
+        H_qp = convexify(st.H, st.iter)
         sol, qp_infeasible, qp_bad = solve_subproblem(st, d, H_qp)
         failed = jnp.logical_or(qp_infeasible, qp_bad)
         p = jnp.where(failed, 0.0, sol.p)

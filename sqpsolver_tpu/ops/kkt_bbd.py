@@ -117,8 +117,43 @@ def bbd_factorize(
         L_pp, W, L_ss, dS, ok = attempt(new_delta)
         return (new_delta, L_pp, W, L_ss, dS, ok, tries + 1)
 
-    delta, L_pp, W, L_ss, dS, ok, _ = lax.while_loop(
+    delta, L_pp, W, L_ss, dS, ok, tries = lax.while_loop(
         cond, body, (delta0, L_pp0, W0, L_ss0, dS0, ok0, jnp.array(0))
+    )
+
+    # bisection refinement of an escalated delta — see linsolve.factorize_spd:
+    # the x100 ladder's overshoot damps K and breaks the merit model's step
+    # prediction; four log-bisection attempts tighten it to ~1.8x granularity
+    def _refine(args):
+        lo, hi, fac_hi = args
+
+        def step(_, carry):
+            lo, hi, fac_hi = carry
+            mid = jnp.sqrt(lo * hi)
+            fac_m = attempt(mid)
+            ok_m = fac_m[4]
+            return (
+                jnp.where(ok_m, lo, mid),
+                jnp.where(ok_m, mid, hi),
+                jax.tree.map(
+                    lambda a, b: jnp.where(ok_m, a, b), fac_m, fac_hi
+                ),
+            )
+
+        lo, hi, fac_hi = lax.fori_loop(0, 4, step, (lo, hi, fac_hi))
+        return hi, fac_hi
+
+    escalated = jnp.logical_and(ok, tries > 0)
+    fac0 = (L_pp, W, L_ss, dS, ok)
+    delta_r, fac_r = lax.cond(
+        escalated,
+        _refine,
+        lambda args: (args[1], args[2]),
+        (jnp.maximum(delta / _REG_GROWTH, delta_floor * 1e-2), delta, fac0),
+    )
+    delta = jnp.where(escalated, delta_r, delta)
+    L_pp, W, L_ss, dS, _ = jax.tree.map(
+        lambda a, b: jnp.where(escalated, a, b), fac_r, fac0
     )
     return BbdFactor(
         Li_pp=tri_inv(L_pp), W=W, Li_ss=tri_inv(L_ss), dS=dS, delta=delta,

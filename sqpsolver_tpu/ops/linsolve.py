@@ -48,6 +48,12 @@ class Factorization(NamedTuple):
     #: Jacobi equilibration vector d (chol factors d M d, unit diagonal);
     #: None = unscaled.  Solves and refinement go through the scaling.
     scale: Array | None = None
+    #: explicit L^-1 (factor dtype); when present every back-solve becomes
+    #: two (batched) matmuls instead of latency-bound triangular solves —
+    #: on TPU a vector-RHS triangular solve is ~10x slower than the matvec,
+    #: while this chip's f64 matmuls run near f32 speed (~20 TFLOP/s
+    #: measured), so the direct-f64 path gains as much as the f32 one.
+    inv_chol: Array | None = None
 
 
 def _chol_ok(L: Array) -> Array:
@@ -96,6 +102,7 @@ def factorize_spd(
     backend: str = "xla",
     min_pivot: float = 0.0,
     equilibrate: bool = False,
+    invert: bool = False,
 ) -> Factorization:
     """Cholesky-factorize ``M + delta I`` with escalating ``delta``.
 
@@ -180,9 +187,46 @@ def factorize_spd(
         L, ok = attempt(new_delta)
         return (new_delta, L, ok, tries + 1)
 
-    delta, L, ok, _ = lax.while_loop(cond, body, (delta0, L0, ok0, jnp.array(0)))
+    delta, L, ok, tries = lax.while_loop(
+        cond, body, (delta0, L0, ok0, jnp.array(0))
+    )
+
+    # Bisection refinement of the escalated delta (round 4): the coarse
+    # x100 ladder overshoots the minimal inertia correction by up to 100x,
+    # and an over-damped K produces steps that miss the merit model —
+    # measured on case118 cold starts under the minimal-shift "ladder"
+    # convexification, every lane stalled at SQP iteration 3 (status -3).
+    # Four log-bisection steps tighten the bracket [delta/GROWTH, delta]
+    # to ~1.8x granularity for four extra (cheap, f32) factorization
+    # attempts; skipped entirely when the ladder never escalated.
+    def _refine(args):
+        lo, hi, L_hi = args
+
+        def step(_, carry):
+            lo, hi, L_hi = carry
+            mid = jnp.sqrt(lo * hi)
+            L_m, ok_m = attempt(mid)
+            return (
+                jnp.where(ok_m, lo, mid),
+                jnp.where(ok_m, mid, hi),
+                jax.tree.map(lambda a, b: jnp.where(ok_m, a, b), L_m, L_hi),
+            )
+
+        lo, hi, L_hi = lax.fori_loop(0, 4, step, (lo, hi, L_hi))
+        return hi, L_hi
+
+    escalated = jnp.logical_and(ok, tries > 0)
+    delta_r, L_r = lax.cond(
+        escalated,
+        _refine,
+        lambda args: (args[1], args[2]),
+        (jnp.maximum(delta / _REG_GROWTH, delta_floor * 1e-2), delta, L),
+    )
+    delta = jnp.where(escalated, delta_r, delta)
+    L = jax.tree.map(lambda a, b: jnp.where(escalated, a, b), L_r, L)
     return Factorization(
-        chol=L, matrix=M + delta * reg_diag, delta=delta, ok=ok, scale=scale
+        chol=L, matrix=M + delta * reg_diag, delta=delta, ok=ok, scale=scale,
+        inv_chol=tri_inv(L) if invert else None,
     )
 
 
@@ -211,12 +255,24 @@ def _cho_solve(L: Array, b: Array) -> Array:
 def _apply_inverse(fact: Factorization, b: Array) -> Array:
     """(M + delta R)^-1 b through the factor, honoring the equilibration:
     the factor holds chol(d M d + delta I), so M^-1 b = d Ls^-T Ls^-1 (d b)."""
+    if fact.inv_chol is not None:
+        Li = fact.inv_chol
+
+        def core(v):
+            v = v.astype(Li.dtype)
+            return Li.T @ (Li @ v)
+
+    else:
+
+        def core(v):
+            return _cho_solve(fact.chol, v)
+
     if fact.scale is None:
-        return _cho_solve(fact.chol, b)
+        return core(b)
     d = fact.scale
     if b.ndim == 2:
-        return d[:, None] * _cho_solve(fact.chol, d[:, None] * b)
-    return d * _cho_solve(fact.chol, d * b)
+        return d[:, None] * core(d[:, None] * b)
+    return d * core(d * b)
 
 
 @partial(jax.jit, static_argnames=("ir_steps",))
@@ -230,9 +286,15 @@ def solve_factorized(fact: Factorization, b: Array, ir_steps: int = 0) -> Array:
     """
     dtype = fact.matrix.dtype
     x = _apply_inverse(fact, b).astype(dtype)
-    if fact.chol.dtype == dtype and ir_steps == 0:
+    if fact.chol.dtype == dtype and ir_steps == 0 and fact.inv_chol is None:
         return x
-    sweeps = max(ir_steps, 1) if fact.chol.dtype != dtype else ir_steps
+    # explicit-inverse solves carry ~cond*eps extra rounding vs triangular
+    # back-substitution; one residual sweep (a fast matmul) restores it
+    sweeps = (
+        max(ir_steps, 1)
+        if (fact.chol.dtype != dtype or fact.inv_chol is not None)
+        else ir_steps
+    )
 
     def sweep(_, x):
         r = b - fact.matrix @ x

@@ -396,11 +396,15 @@ class DenseOp:
         K = Q + jnp.diag(diag_k) + (A.T * invE_soft) @ A
         # f32 factors get Jacobi equilibration + pivot probe (linsolve
         # docstring: without it, cold-start barrier systems sit on a
-        # rounding knife-edge); f64 factors stay untouched.
+        # rounding knife-edge); f64 factors stay untouched.  Explicit
+        # inverse factors (opts.invert_factors): back-solves become matmuls
+        # — latency-bound triangular solves were the dominant per-trip cost
+        # on TPU, and this chip's f64 matmuls run near f32 speed.
         mixed = self.fdtype != dtype
+        inv = bool(opts.invert_factors)
         fact_K = factorize_spd(
             K, delta0, factor_dtype=self.fdtype, backend=opts.kkt_backend,
-            equilibrate=mixed, min_pivot=1e-3 if mixed else 0.0,
+            equilibrate=mixed, min_pivot=1e-3 if mixed else 0.0, invert=inv,
         )
         m = A.shape[0]
         cap = opts.schur_cap
@@ -420,6 +424,7 @@ class DenseOp:
                 S, jnp.zeros((), dtype), factor_dtype=self.fdtype,
                 backend=opts.kkt_backend,
                 equilibrate=mixed, min_pivot=1e-3 if mixed else 0.0,
+                invert=inv,
             )
 
             def solve_block(r1_t, r2_t):
@@ -442,6 +447,7 @@ class DenseOp:
             S, jnp.zeros((), dtype), factor_dtype=self.fdtype,
             backend=opts.kkt_backend,
             equilibrate=mixed, min_pivot=1e-3 if mixed else 0.0,
+            invert=inv,
         )
 
         def solve_block(r1_t, r2_t):

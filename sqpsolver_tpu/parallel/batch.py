@@ -71,6 +71,7 @@ def make_chunked_batch_solver(
     max_chunk: int = 64,
     sub_batch: int = 0,
     log: Callable[[str], None] | None = None,
+    rescue_fallback: bool = False,
 ) -> Callable[[NLPData], SqpResult]:
     """Batched solver advanced in host-controlled chunks of outer iterations.
 
@@ -108,6 +109,16 @@ def make_chunked_batch_solver(
     tax: a batched `lax.while_loop` runs max-over-lanes trips at full
     width, and one rescue-heavy lane was measured costing 10-24 s per
     iteration with 127/128 lanes done riding along.  0 = full width.
+
+    ``rescue_fallback``: two-pass execution for fleets running with
+    ``qp_rescue=False`` (the f64 stall-rescue phase factors in EMULATED
+    f64 on TPU; under max-over-lanes semantics one rescue-bound lane drags
+    the whole batch through those trips).  Pass 1 runs the fast rescue-free
+    program; lanes that exit with Error_In_Step_Computation (-3) are then
+    RE-SOLVED from cold by a lazily-built rescue-enabled twin of the same
+    chunked solver, and their results merged back.  Measured case30 b256:
+    248/256 converge in the fast pass at 70 iter/s; only the 8 stalled
+    lanes pay the f64 price.
     """
     solver = make_solver(nlp, params, verbose=False)
     init_b = jax.jit(jax.vmap(solver._init_state))
@@ -210,14 +221,59 @@ def make_chunked_batch_solver(
                     if per_iter_worst > 0.0
                     else per_iter
                 )
-            if per_iter_worst > 0.0:
+            if dt > 40.0:
+                # close call: a spike blew straight past the projection
+                # (iteration cost can flip 35x when lanes enter the f64
+                # rescue) — drop to single-iteration chunks and hold the
+                # spike cost undecayed as the new floor
+                k = 1
+                per_iter_worst = max(per_iter_worst, per_iter)
+            elif per_iter_worst > 0.0:
                 k = int(np.clip(
                     min(target_chunk_seconds, 25.0)
                     / max(per_iter_worst, 1e-4),
                     1,
                     min(4 * k, max_chunk),
                 ))
-        return fin_b(st, data)
+        res = fin_b(st, data)
+
+        if rescue_fallback and not params.qp_rescue:
+            from ..status import Status
+
+            status = np.asarray(res.status)
+            bad = np.where(status == int(Status.ERROR_IN_STEP_COMPUTATION))[0]
+            if bad.size:
+                if log:
+                    log(f"chunked: rescue fallback for {bad.size} lanes")
+                W_here = min(sub_batch, B) if sub_batch else B
+                pad_n = (-bad.size) % W_here
+                idx = np.concatenate([bad, np.full(pad_n, bad[0], bad.dtype)])
+                res_bad = _fallback()(
+                    _gather(data, jnp.asarray(idx))
+                )
+                sel = jnp.asarray(bad)
+                res = jax.tree.map(
+                    lambda f, p: f.at[sel].set(p[: bad.size]), res, res_bad
+                )
+        return res
+
+    _fb_cache: list = []
+
+    def _fallback():
+        if not _fb_cache:
+            _fb_cache.append(
+                make_chunked_batch_solver(
+                    nlp,
+                    params.replace(qp_rescue=True),
+                    target_chunk_seconds=target_chunk_seconds,
+                    chunk0=chunk0,
+                    max_chunk=max_chunk,
+                    sub_batch=sub_batch,
+                    log=log,
+                    rescue_fallback=False,
+                )
+            )
+        return _fb_cache[0]
 
     return solve
 
