@@ -517,25 +517,14 @@ def make_solver(
             # iterations); the TR box keeps the nonconvex QP bounded, and
             # the merit test rejects any ascent direction the nonconvex QP
             # might produce.
-            #
-            # CONTINUATION on the floor (round 4): at a heavily infeasible
-            # cold start the minimal floor leaves K's conditioning beyond
-            # what an f32 factorization can solve AT ALL — case118 lanes
-            # stalled in the f32 phase and needed the (expensive on TPU)
-            # f64 rescue on every early QP.  Starting the floor at 1e-2 x
-            # scale (eigh-shift-like damping, f32-friendly) and decaying
-            # 4x per SQP iteration to the 4e-7 terminal floor gives the
-            # early iterations Levenberg-damped f32-solvable systems and
-            # the endgame the minimal shift that makes the ladder fast.
+            # (A decaying-floor continuation — heavier damping on the first
+            # SQP iterations — was tried in round 4 and REVERTED: it did not
+            # make the cold case118 QPs f32-solvable, and it broke the
+            # structured path's previously-working trajectory, so the cold
+            # conditioning wall is handled by the f64 stall rescue instead.)
             diag_g, off_g = _gershgorin_data(H)
             scale = 1.0 + jnp.max(jnp.abs(diag_g) + off_g, initial=0.0)
-            if sqp_iter is None:
-                floor = 4.0e-7 * scale
-            else:
-                it = jnp.maximum(sqp_iter.astype(dtype) - 1.0, 0.0)
-                floor = scale * jnp.maximum(
-                    4.0e-7, 1.0e-2 * jnp.power(0.25, it)
-                )
+            floor = 4.0e-7 * scale
             if structured:
                 return maps.h_add_diag(H, floor)
             return H + floor * jnp.eye(n, dtype=dtype)

@@ -231,14 +231,21 @@ def factorize_spd(
 
 
 def tri_inv(L: Array) -> Array:
-    """Explicit inverse of a (possibly batched) lower-triangular factor: one
-    n-RHS triangular solve.  Back-solves then become (batched) matvecs
-    x = L^-T (L^-1 b) — ~10x faster than latency-bound vector-RHS triangular
-    solves on TPU."""
-    eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
-    return lax.linalg.triangular_solve(
-        L, eye, left_side=True, lower=True, transpose_a=False
-    )
+    """Explicit inverse of a (possibly batched) lower-triangular factor via
+    the 128-blocked product-doubling algorithm (ops.chol_blocked
+    tri_inv_blocked) — matmuls only.  XLA's ``triangular_solve`` runs a
+    per-lane substitution loop that costs a flat ~35-50 ms per call on the
+    v5e REGARDLESS of dtype or right-hand-side count (measured round 4,
+    (8,344,344)); the doubling inverse is ~log2(n) rounds of batched MXU
+    matmuls, and back-solves then become matvecs x = L^-T (L^-1 b)."""
+    from .chol_blocked import tri_inv_blocked
+
+    lead = L.shape[:-2]
+    m = L.shape[-1]
+    if m == 0:  # degenerate empty system (e.g. an empty stiff set)
+        return L
+    X = tri_inv_blocked(L.reshape((-1, m, m)))
+    return X.reshape(lead + (m, m))
 
 
 def _cho_solve(L: Array, b: Array) -> Array:
