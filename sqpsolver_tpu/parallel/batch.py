@@ -245,8 +245,10 @@ def make_chunked_batch_solver(
             if bad.size:
                 if log:
                     log(f"chunked: rescue fallback for {bad.size} lanes")
-                W_here = min(sub_batch, B) if sub_batch else B
-                pad_n = (-bad.size) % W_here
+                # pad to the fallback's slab width so its init/run programs
+                # see one fixed shape (duplicate lanes are just re-solved)
+                W_fb = min(8, sub_batch) if sub_batch else 8
+                pad_n = (-bad.size) % W_fb
                 idx = np.concatenate([bad, np.full(pad_n, bad[0], bad.dtype)])
                 res_bad = _fallback()(
                     _gather(data, jnp.asarray(idx))
@@ -268,7 +270,10 @@ def make_chunked_batch_solver(
                     target_chunk_seconds=target_chunk_seconds,
                     chunk0=chunk0,
                     max_chunk=max_chunk,
-                    sub_batch=sub_batch,
+                    # rescue iterations cost ~0.5 s per f64-factor trip and
+                    # scale with slab width; one rescue iteration at W=128
+                    # crossed the 60 s watchdog, so the fallback runs narrow
+                    sub_batch=min(8, sub_batch) if sub_batch else 8,
                     log=log,
                     rescue_fallback=False,
                 )
