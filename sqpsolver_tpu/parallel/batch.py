@@ -120,6 +120,16 @@ def make_chunked_batch_solver(
     248/256 converge in the fast pass at 70 iter/s; only the 8 stalled
     lanes pay the f64 price.
     """
+    if params.qp_rescue:
+        # Rescue-enabled solves advance ONE iteration per device call: the
+        # per-iteration cost is bimodal (0.4 s steady-state vs ~19 s during
+        # an f64 rescue storm at W=8, a 35-50x flip), so no learned estimate
+        # is watchdog-safe — measured on v5e: after two cheap chunks the
+        # decayed-worst controller raised k to 3 and a single 3-iteration
+        # call crossed the 60 s watchdog mid-rescue (dense case118 b16).
+        # The host round-trip tax (~0.2-0.3 s/iteration) is noise on a
+        # correctness path whose iterations cost seconds.
+        max_chunk = 1
     solver = make_solver(nlp, params, verbose=False)
     init_b = jax.jit(jax.vmap(solver._init_state))
     run_b = jax.jit(jax.vmap(solver._run_until, in_axes=(0, 0, None)))
