@@ -188,10 +188,12 @@ def main():
     sub_batch = int(
         os.environ.get(
             "SQP_BENCH_SUBBATCH",
-            # rescue-heavy iterations at case118 b16 measured ~35 s (38
-            # trips x ~0.9 s f64-factor trips); halving the slab keeps even
-            # a worst-case single iteration clear of the 60 s watchdog
-            "8" if (structured or (rescue_on and nbus >= 118)) else "128",
+            # a single rescue-storm SQP iteration (one QP, up to 30
+            # f64-emulated-factor trips) at case118 W=8 measured 44-60+ s
+            # — the watchdog-atomic unit; rescue-on case118 runs at W=2
+            # (~8 s/lane measured)
+            "2" if (rescue_on and nbus >= 118)
+            else ("8" if structured else "128"),
         )
     )
 
@@ -245,7 +247,25 @@ def main():
     # chunk would handicap the baseline (measured: serial case30 24.2 ->
     # 15.3 iter/s under chunking).
     n_serial = min(4, batch)
-    serial_solver = make_batch_solver(nlp, params)  # batch=1 via slicing
+    # When the batched path runs rescue-free with the chunked rescue
+    # FALLBACK (qp_rescue off + chunked), a rescue-off serial baseline is
+    # not a fair reference model: at case118 the f32-only QPs stall every
+    # lane (status -3) and the "baseline" would be measuring failures.
+    # The reference always factors in full f64 (ma57), so give the serial
+    # model the rescue phase whenever the batched path has its fallback.
+    serial_params = (
+        params.replace(qp_rescue=True)
+        if (chunked and not params.qp_rescue)
+        else params
+    )
+    # the serial model faces the same 60 s watchdog as any execution: at
+    # chunk-mandatory sizes a monolithic rescue-on lane could cross it (a
+    # fault kills the process and the whole bench attempt), so the serial
+    # baseline chunks exactly when the batched path does
+    if chunked:
+        serial_solver = make_chunked_batch_solver(nlp, serial_params)
+    else:
+        serial_solver = make_batch_solver(nlp, serial_params)  # b=1 slices
     one = jax.tree.map(lambda a: a[:1], data)
     o = serial_solver(one)
     jax.block_until_ready(o.x)  # compile

@@ -257,7 +257,7 @@ def make_chunked_batch_solver(
                     log(f"chunked: rescue fallback for {bad.size} lanes")
                 # pad to the fallback's slab width so its init/run programs
                 # see one fixed shape (duplicate lanes are just re-solved)
-                W_fb = min(8, sub_batch) if sub_batch else 8
+                W_fb = _fb_width()
                 pad_n = (-bad.size) % W_fb
                 idx = np.concatenate([bad, np.full(pad_n, bad[0], bad.dtype)])
                 res_bad = _fallback()(
@@ -271,6 +271,17 @@ def make_chunked_batch_solver(
 
     _fb_cache: list = []
 
+    def _fb_width() -> int:
+        # The watchdog-atomic unit of a rescue pass is ONE SQP iteration =
+        # one QP = up to qp_max_iter f64-emulated-factor trips; it cannot
+        # be subdivided by chunking, only narrowed.  Measured on v5e at
+        # n=344 (case118): a single rescue-storm iteration at W=8 costs
+        # 44-60+ s (one crossed the 60 s watchdog at k=1), i.e. ~8 s per
+        # lane — so the width scales down with problem size to hold the
+        # worst single iteration near ~15-20 s.
+        w = 8 if nlp.n < 160 else (4 if nlp.n < 256 else 2)
+        return max(1, min(w, sub_batch) if sub_batch else w)
+
     def _fallback():
         if not _fb_cache:
             _fb_cache.append(
@@ -280,10 +291,7 @@ def make_chunked_batch_solver(
                     target_chunk_seconds=target_chunk_seconds,
                     chunk0=chunk0,
                     max_chunk=max_chunk,
-                    # rescue iterations cost ~0.5 s per f64-factor trip and
-                    # scale with slab width; one rescue iteration at W=128
-                    # crossed the 60 s watchdog, so the fallback runs narrow
-                    sub_batch=min(8, sub_batch) if sub_batch else 8,
+                    sub_batch=_fb_width(),
                     log=log,
                     rescue_fallback=False,
                 )
