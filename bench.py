@@ -190,9 +190,9 @@ def main():
             "SQP_BENCH_SUBBATCH",
             # a single rescue-storm SQP iteration (one QP, up to 30
             # f64-emulated-factor trips) at case118 W=8 measured 44-60+ s
-            # — the watchdog-atomic unit; rescue-on case118 runs at W=2
-            # (~8 s/lane measured)
-            "2" if (rescue_on and nbus >= 118)
+            # — the watchdog-atomic unit; rescue-on case118 runs at W=4
+            # (W=2 trips an XLA MSA compiler crash on degenerate dims)
+            "4" if (rescue_on and nbus >= 118)
             else ("8" if structured else "128"),
         )
     )

@@ -278,8 +278,12 @@ def make_chunked_batch_solver(
         # n=344 (case118): a single rescue-storm iteration at W=8 costs
         # 44-60+ s (one crossed the 60 s watchdog at k=1), i.e. ~8 s per
         # lane — so the width scales down with problem size to hold the
-        # worst single iteration near ~15-20 s.
-        w = 8 if nlp.n < 160 else (4 if nlp.n < 256 else 2)
+        # worst single iteration well under the limit.  Floor at 4: the
+        # batch-2 variant of the rescue program crashed XLA's memory-space-
+        # assignment pass in the remote compile (MSA "conflicting pending
+        # required assignment" check failure, SIGABRT) while W=8 compiled
+        # clean — degenerate leading dims are a known compiler trap.
+        w = 8 if nlp.n < 160 else 4
         return max(1, min(w, sub_batch) if sub_batch else w)
 
     def _fallback():
