@@ -188,11 +188,14 @@ def main():
     sub_batch = int(
         os.environ.get(
             "SQP_BENCH_SUBBATCH",
-            # a single rescue-storm SQP iteration (one QP, up to 30
-            # f64-emulated-factor trips) at case118 W=8 measured 44-60+ s
-            # — the watchdog-atomic unit; rescue-on case118 runs at W=4
-            # (W=2 trips an XLA MSA compiler crash on degenerate dims)
-            "4" if (rescue_on and nbus >= 118)
+            # rescue-on runs use the SAME size-keyed width rule as the
+            # rescue fallback (batch._fb_width — keyed on nlp.n, not bus
+            # count, so case30 replicas at 60-90 buses get a narrow slab
+            # too): a single rescue-storm SQP iteration (one QP, dozens of
+            # f64-emulated-factor trips) at case118 W=8 measured 44-60+ s —
+            # the watchdog-atomic unit; W=2/3 trip an XLA MSA compiler
+            # crash on degenerate dims, so the floor is 4
+            ("8" if nlp.n < 160 else "4") if rescue_on
             else ("8" if structured else "128"),
         )
     )
@@ -241,49 +244,69 @@ def main():
         f"{solve_rate:.2f} solves/s")
 
     # serial baseline: one instance at a time (the reference's execution
-    # model), measured on a subsample and scaled.  MONOLITHIC path: a
-    # single-lane solve is far under the 60 s watchdog at every benched
-    # size, and the chunked host loop's ~0.2-0.3 s axon round-trip per
-    # chunk would handicap the baseline (measured: serial case30 24.2 ->
-    # 15.3 iter/s under chunking).
-    n_serial = min(4, batch)
-    # When the batched path runs rescue-free with the chunked rescue
-    # FALLBACK (qp_rescue off + chunked), a rescue-off serial baseline is
-    # not a fair reference model: at case118 the f32-only QPs stall every
-    # lane (status -3) and the "baseline" would be measuring failures.
-    # The reference always factors in full f64 (ma57), so give the serial
-    # model the rescue phase whenever the batched path has its fallback.
+    # model).  Statistical honesty (VERDICT r4 item 4): >= 8 instances,
+    # repeated, per-rep spread reported — the r4 headline rested on a
+    # single 4-instance draw whose serial rate swung 2x between runs.
+    #
+    # Path selection by size:
+    #  * below case118 scale: MONOLITHIC rescue-off program.  A single-lane
+    #    solve is far under the 60 s watchdog and converges without the f64
+    #    rescue at these sizes; the chunked host loop would handicap the
+    #    baseline (measured: serial case30 24.2 -> 15.3 iter/s chunked),
+    #    and rescue-on pins the chunk limit at 1 (~0.2-0.3 s of axon
+    #    round-trip per single SQP iteration).
+    #  * case118+: rescue-on AND chunked, like the batched path.  Rescue-off
+    #    serial at this scale measures failures, not solves (the f32-only
+    #    QPs stall every lane; the reference always factors in full
+    #    f64/ma57), and a monolithic rescue-on lane can cross the watchdog.
+    serial_needs_rescue = nbus >= 118 and not params.qp_rescue
     serial_params = (
-        params.replace(qp_rescue=True)
-        if (chunked and not params.qp_rescue)
-        else params
+        params.replace(qp_rescue=True) if serial_needs_rescue else params
     )
-    # the serial model faces the same 60 s watchdog as any execution: at
-    # chunk-mandatory sizes a monolithic rescue-on lane could cross it (a
-    # fault kills the process and the whole bench attempt), so the serial
-    # baseline chunks exactly when the batched path does
-    if chunked:
+    serial_chunked = chunked and (nbus >= 118 or params.qp_rescue)
+    if serial_chunked:
         serial_solver = make_chunked_batch_solver(nlp, serial_params)
     else:
         serial_solver = make_batch_solver(nlp, serial_params)  # b=1 slices
+    n_serial = (
+        int(os.environ.get("SQP_BENCH_SERIAL_N", "0")) or min(8, batch)
+    )
+    reps_serial = int(os.environ.get("SQP_BENCH_SERIAL_REPS", "2"))
     one = jax.tree.map(lambda a: a[:1], data)
     o = serial_solver(one)
     jax.block_until_ready(o.x)  # compile
-    t0 = time.time()
     iters_serial = 0
+    solves_serial = 0
+    t_serial = 0.0
+    rep_rates = []
     serial_status = []
-    for i in range(n_serial):
-        one = jax.tree.map(lambda a: a[i : i + 1], data)
-        o = serial_solver(one)
-        jax.block_until_ready(o.x)
-        iters_serial += int(np.asarray(o.iterations).sum())
-        serial_status.append(int(np.asarray(o.status)[0]))
-    t_serial = time.time() - t0
+    for rep in range(reps_serial):
+        t0 = time.time()
+        it_rep = 0
+        for i in range(n_serial):
+            one = jax.tree.map(lambda a: a[i : i + 1], data)
+            o = serial_solver(one)
+            jax.block_until_ready(o.x)
+            it_rep += int(np.asarray(o.iterations).sum())
+            if rep == 0:
+                serial_status.append(int(np.asarray(o.status)[0]))
+        dt = time.time() - t0
+        t_serial += dt
+        iters_serial += it_rep
+        solves_serial += n_serial
+        rep_rates.append(it_rep / dt)
     serial_rate = iters_serial / t_serial
-    serial_solve_rate = n_serial / t_serial
+    serial_solve_rate = solves_serial / t_serial
+    spread = (
+        (max(rep_rates) - min(rep_rates)) / serial_rate
+        if len(rep_rates) > 1
+        else 0.0
+    )
     log(f"serial: {iters_serial} SQP iters in {t_serial:.3f}s "
+        f"({n_serial} lanes x {reps_serial} reps) "
         f"-> {serial_rate:.1f} iter/s; {serial_solve_rate:.2f} solves/s  "
-        f"status={serial_status}")
+        f"rep rates={['%.1f' % r for r in rep_rates]} "
+        f"spread={spread:.1%}  status={serial_status}")
     if not all(s in (0, 1, 6) for s in serial_status):
         log("WARNING: serial baseline lanes did not converge - "
             "vs_baseline is not meaningful")

@@ -149,8 +149,25 @@ def make_chunked_batch_solver(
     def solve(data: NLPData) -> SqpResult:
         import time as _time
 
+        B_req = int(data.x0.shape[0])
+        if params.qp_rescue and B_req < 4:
+            # degenerate leading dims are a compiler trap for the rescue
+            # program: the W=2 variant crashes XLA's memory-space-assignment
+            # pass in the remote compile (SIGABRT) and W=1/3 are untested
+            # cousins.  Pad the batch to 4 by duplicating the last lane —
+            # under max-over-lanes semantics the duplicates ride along at
+            # ~the real lane's cost — and slice the result back at the end.
+            pad = 4 - B_req
+            data = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a] + [a[-1:]] * pad, axis=0
+                ),
+                data,
+            )
         B = int(data.x0.shape[0])
         W = min(sub_batch, B) if sub_batch else B
+        if params.qp_rescue and W < 4:
+            W = min(4, B)  # same MSA-crash avoidance for the slab width
 
         t0 = _time.time()
         if W == B:
@@ -267,6 +284,8 @@ def make_chunked_batch_solver(
                 res = jax.tree.map(
                     lambda f, p: f.at[sel].set(p[: bad.size]), res, res_bad
                 )
+        if B != B_req:  # drop the degenerate-width padding lanes
+            res = jax.tree.map(lambda a: a[:B_req], res)
         return res
 
     _fb_cache: list = []
@@ -284,7 +303,10 @@ def make_chunked_batch_solver(
         # required assignment" check failure, SIGABRT) while W=8 compiled
         # clean — degenerate leading dims are a known compiler trap.
         w = 8 if nlp.n < 160 else 4
-        return max(1, min(w, sub_batch) if sub_batch else w)
+        # never return the known-crashing widths: a caller-supplied
+        # sub_batch of 2 or 3 (SQP_BENCH_SUBBATCH) is rounded UP to 4 —
+        # running the W=2/3 rescue program would reproduce the MSA SIGABRT
+        return max(4, min(w, sub_batch) if sub_batch else w)
 
     def _fallback():
         if not _fb_cache:
