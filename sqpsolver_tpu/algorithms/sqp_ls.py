@@ -456,9 +456,17 @@ def make_ls_solver(
             live_step, jnp.logical_and(~conv_kkt, ~fr_exit2)
         )
 
-        # SOC on line-search failure (:210-223), then x += alpha p + soc.
-        # The LS spec always attempts SOC on failure, independent of the
-        # use_soc flag (sqp_line_search.jl:211); branch-free select-merge.
+        # SOC on line-search failure (:210-223).  The LS spec always
+        # attempts SOC on failure, independent of the use_soc flag
+        # (sqp_line_search.jl:211); branch-free select-merge.
+        #
+        # DELIBERATE DEVIATION (bug fix, PARITY.md; same fix as the TR
+        # driver's solve_soc): with rows shifted by E_soc = g(x+p) - Jp the
+        # corrected QP's solution IS the full corrected step (at z = p the
+        # shifted row value is exactly g(x+p)), so the spec's update
+        # ``x += alpha p + soc`` (sqp_line_search.jl:228, alpha forced to 1)
+        # adds the base step twice and the SOC trial lands ~2x out.  Here
+        # the SOC lanes take x + soc.
         x_p = st.x + p
         E_p = nlp.cons(x_p, theta)
         E_soc = E_p - J @ p
@@ -475,16 +483,17 @@ def make_ls_solver(
         soc_init = None
         if params.qp_warm_start:
             # duals from the QP this SOC corrects (lam == sol.y on the lanes
-            # that reach here)
-            soc_init = dict(
-                p=jnp.zeros((n,), dtype), y=lam, zl=mlo, zu=mup, on=need_soc
-            )
+            # that reach here); the rejected step is the primal guess for
+            # the corrected total step
+            soc_init = dict(p=p, y=lam, zl=mlo, zu=mup, on=need_soc)
         soc_sol = solve_qp(
             H_qp, df, J, rl, ru, lb, ub, w, opts=ipm_opts, skip=~need_soc,
             init=soc_init,
         )
         soc = jnp.where(need_soc, soc_sol.p, 0.0)
-        alpha = jnp.where(need_soc, 1.0, alpha)
+        # SOC lanes take the corrected step INSTEAD of alpha*p (deviation
+        # note above); non-SOC lanes keep their line-search alpha
+        alpha = jnp.where(need_soc, 0.0, alpha)
         st = st._replace(
             n_soc=st.n_soc + need_soc.astype(jnp.int32),
             qp_iters_total=st.qp_iters_total

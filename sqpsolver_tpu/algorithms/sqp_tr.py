@@ -40,6 +40,7 @@ Known deviations (each deliberate, documented here):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
@@ -689,7 +690,21 @@ def make_solver(
 
     def solve_soc(st: SqpState, E_trial, d: NLPData, H_qp, try_soc, duals):
         """Second-order correction QP (sqp_trust_region.jl:341-360):
-        re-linearize the residual at x+p and resolve.
+        re-solve the subproblem with the constraint linearization shifted by
+        the curvature residual at the trial point,  E_soc = g(x+p) - J p,
+        and take the NEW solution as the full corrected step (the textbook
+        SOC: at p_tilde = p the shifted row value is exactly g(x+p), so the
+        re-solve bends the step to cancel the observed constraint curvature).
+
+        DELIBERATE DEVIATION (bug fix, PARITY.md): the reference builds the
+        identical shifted QP but then ADDS the base step on top of its
+        solution (``p_soc .= p .+ p_new``, sqp_trust_region.jl:357) — with
+        rows b = g(x+p) - Jp the QP variable is already the total step, so
+        the reference's SOC trial is ~2x too long, lands far outside the
+        curvature region, and is essentially always rejected (measured on
+        the Maratos problem: |p_soc| = 2|p|, phi_soc far above phi — SOC
+        never fires, the TR crawls through halvings instead;
+        tests/test_soc.py pins the fixed behavior).
 
         Lanes whose step was accepted (or in FR) skip: when *no* lane needs
         the correction the SOC while_loop exits at trip 0, removing the
@@ -699,16 +714,13 @@ def make_solver(
         ru = d.g_u - E_soc
         lb, ub = _trust_region_box(st.x, d.x_l, d.x_u, st.tr)
         w = jnp.full((m,), w_big, dtype)
-        # warm start the DUALS from the QP being corrected: same Q/A/box,
-        # only the row rhs moved by the curvature correction.  The solved
-        # variable is the small correction on top of st.p (the caller adds
-        # them), so the primal guess stays at the cold origin.
+        # warm start from the QP being corrected: same Q/A/box, only the row
+        # rhs moved by the curvature correction — the rejected step is the
+        # natural primal guess for the corrected total step.
         init = None
         if params.qp_warm_start:
             y_w, zl_w, zu_w = duals
-            init = dict(
-                p=jnp.zeros_like(st.p), y=y_w, zl=zl_w, zu=zu_w, on=try_soc
-            )
+            init = dict(p=st.p, y=y_w, zl=zl_w, zu=zu_w, on=try_soc)
         tol_dyn = _adaptive_qp_tol(st)
         if structured:
             sol = solve_qp_structured(
@@ -719,7 +731,7 @@ def make_solver(
                 H_qp, st.df, st.J, rl, ru, lb, ub, w, opts=ipm_opts,
                 skip=~try_soc, init=init, tol_override=tol_dyn,
             )
-        return st.p + sol.p, sol.iters
+        return sol.p, sol.iters
 
     def qmodel(st: SqpState, p, d: NLPData, with_step):
         """q(p) = df'p + 1/2 p'Hp + mu * ||linearized viol||_1
@@ -1057,6 +1069,17 @@ def make_solver(
             soc_accept = jnp.logical_and(
                 try_soc, jnp.logical_and(ared_soc > 0.0, rho_soc > 0.0)
             )
+            if os.environ.get("SQP_DEBUG_SOC"):  # trace-time debug aid
+                jax.debug.callback(
+                    lambda *a: print(
+                        "SOC dbg: try=%s ck=%.3e ared=%.3e pred=%.3e "
+                        "|p|=%.3e |psoc|=%.3e phi=%.6f phit=%.6f phisoc=%.6f"
+                        % a
+                    ),
+                    try_soc, c_k, ared_soc, pred_soc,
+                    _inf_norm(st.p), _inf_norm(p_soc), st.phi, phi_t, phi_soc,
+                    ordered=True,
+                )
             new_x = jnp.where(soc_accept, x_soc, new_x)
 
         any_accept = jnp.logical_or(accept, soc_accept)
