@@ -83,6 +83,14 @@ class NLP:
     # ``data()``.
 
     def __post_init__(self):
+        if self.n == 0:
+            # the reference rejects variable-free models as invalid
+            # (MOI_wrapper.jl:1160-1163, MOI.InvalidModel); we fail loudly
+            # at construction time
+            raise ValueError(
+                "NLP with zero variables is invalid (reference "
+                "MOI_wrapper.jl:1160-1163 rejects variable-free models)"
+            )
         if self.m == 0 and self.g is not None:
             raise ValueError("m == 0 requires g=None")
         if self.m > 0 and self.g is None:
