@@ -570,8 +570,25 @@ def solve_qp_op(
 _WARM_DUAL_FLOOR = 1.0e-2
 
 
-def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
-                   init=None, tol_override=None):
+def _ipm_bundle(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
+                init=None, tol_override=None):
+    """Shared machinery of one elastic-QP solve: masks, the initial state,
+    a (cond, body) loop factory, the phase-2 (f64 polish/rescue) entry
+    transition, and the solution finalizer.
+
+    Both execution styles are built on this ONE bundle so they are
+    bit-identical by construction:
+
+    * the monolithic ``_solve_qp_impl`` (phase-1 while_loop, then the
+      phase-2 while_loop inside the same device program), and
+    * the resumable micro-stepped form (``qp_micro_start`` /
+      ``qp_micro_resume`` / ``qp_micro_finalize``) where the host advances
+      the phase-2 loop a bounded number of trips per device call — the
+      round-4 finding is that ONE rescue-storm QP (dozens of f64-emulated
+      factorization trips at n~344) exceeds the axon tunnel's 60 s
+      execution watchdog even at slab width 4, so the QP itself must stop
+      being a watchdog-atomic unit (VERDICT r4 item 2).
+    """
     # harmonize input dtypes (mixed f32/f64 inputs would otherwise promote
     # inside the while_loop and break the carry signature)
     if op is None:
@@ -815,382 +832,380 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
         # inexact-SQP relaxation (solve_qp docstring): loosen, never tighten.
         # Phase-1 only — the polish/rescue phase keeps its strict target.
         tol_p1 = jnp.maximum(tol_p1, jnp.asarray(tol_override, dtype))
-    loop_cfg = dict(
-        op=op,
-        tol=tol_p1,
-        max_iter=opts.max_iter,
-        # Schur-set cap (IpmOptions.schur_cap); the f64 polish phase lifts
-        # it (cap=0) so nothing blocks strict-tolerance dual accuracy
-        cap=opts.schur_cap,
-        # f32-phase stall/divergence cutoffs (see body_fn); lifted in phase 2
-        guard=True,
-    )
 
-    def cond_fn(st):
-        return jnp.logical_and(
-            jnp.logical_and(~st["converged"], ~st["failed"]),
-            st["iters"] < loop_cfg["max_iter"],
+    def make_loop(op_, tol, max_iter_, cap, guard):
+        """Fresh (cond, body) closures for one interior-point phase.  Fresh
+        function OBJECTS per phase matter: jax caches while_loop cond/body
+        jaxprs keyed on function identity, so reusing one closure across
+        phases would silently replay the first phase's trace (the original
+        loop_cfg-mutation bug documented below at the phase-2 call site)."""
+        loop_cfg = dict(
+            op=op_, tol=tol, max_iter=max_iter_, cap=cap, guard=guard
         )
 
-    def body_fn(st):
-        p, s, u, v = st["p"], st["s"], st["u"], st["v"]
-        y, zl, zu, ll, lu = st["y"], st["zl"], st["zu"], st["ll"], st["lu"]
-        zeta_u, zeta_v = st["zeta_u"], st["zeta_v"]
-
-        # slack distances (masked; dummy 1 outside masks)
-        a_pl = jnp.where(hlb, p - lb_eff, 1.0)
-        a_pu = jnp.where(hub, ub_eff - p, 1.0)
-        a_sl = jnp.where(hrl, s - rl, 1.0)
-        a_su = jnp.where(hru, ru - s, 1.0)
-
-        rd_p, rp, rd_s, rd_u, rd_v = residuals(st)
-        mu = compl_mu(p, s, u, v, zl, zu, ll, lu, zeta_u, zeta_v)
-
-        # condensed matrix pieces (independent of the rhs -> factor once).
-        #
-        # Row elasticity E_i = u/zeta_u + v/zeta_v (+ 1/Ds for inequality
-        # rows) spans ~mu/w^2 (tight equality rows) to ~1/mu (slack rows):
-        # eliminating every row through 1/E_i (pure primal condensation)
-        # or none (pure range space) explodes the condition number at one
-        # extreme or the other.  Hybrid split: "soft" rows (large E) fold
-        # into the primal block K; "stiff" rows (small E — equalities and
-        # active constraints) are solved through an SPD Schur complement
-        #   S = A_t K^-1 A_t' + diag(E_t),
-        # whose E_t term acts as a bounded dual regularization.  Both
-        # factors stay well-conditioned across the whole barrier path.
-        Dp = _masked_div(zl, a_pl, hlb) + _masked_div(zu, a_pu, hub)
-        Ds = _masked_div(ll, a_sl, hrl) + _masked_div(lu, a_su, hru)
-        eu = u / zeta_u
-        ev = v / zeta_v
-        E = eu + ev + _masked_div(one_m, Ds, rowbounded)
-        soft = jnp.logical_or(E > 1.0, freerow)
-        # rows outside the operator's allowed set fold into K regardless of E
-        stiff = jnp.logical_and(~soft, allowed)
-        # bounded Schur set: the operator may shrink the stiff set to its
-        # capacity (DenseOp: keep the loop_cfg["cap"] globally stiffest rows;
-        # BbdOperator: per-part top-k into static part-local slots); the
-        # overflow folds into K via the bounded 1/max(E, invE_floor) like
-        # any soft row.  The SAME rule must produce the mask here and the
-        # gathered rows inside prepare(), so capping lives on the operator.
-        stiff = loop_cfg["op"].cap_stiff(stiff, E, loop_cfg["cap"])
-        elim = jnp.logical_and(~stiff, ~freerow)  # fold into K via 1/E
-        invE_soft = jnp.where(
-            elim, 1.0 / jnp.maximum(E, opts.invE_floor), 0.0
-        )
-        E_stiff = jnp.where(stiff, E, 1.0)
-
-        # --- factorization (operator backend) ------------------------------
-        # DenseOp: explicit K/S assembly; mixed_plane runs every matmul/
-        # factorization in float32 on the MXU with compute-dtype block-level
-        # refinement.  BbdOperator: bordered-block-diagonal K + dense
-        # equality Schur complement for structured large instances.
-        solve_block, fact_delta = loop_cfg["op"].prepare(
-            ridge_vec + Dp, invE_soft, stiff, E_stiff, st["delta"]
-        )
-
-        def newton(cc_pl, cc_pu, cc_sl, cc_su, cc_u, cc_v):
-            """One Newton solve for given complementarity targets.
-
-            cc_* are the right-hand sides of the linearized complementarity
-            equations (sigma*mu - a.z - corrector term)."""
-            r1 = (
-                -rd_p
-                + _masked_div(cc_pl, a_pl, hlb)
-                - _masked_div(cc_pu, a_pu, hub)
+        def cond_fn(st):
+            return jnp.logical_and(
+                jnp.logical_and(~st["converged"], ~st["failed"]),
+                st["iters"] < loop_cfg["max_iter"],
             )
-            ts = (
-                -rd_s
-                + _masked_div(cc_sl, a_sl, hrl)
-                - _masked_div(cc_su, a_su, hru)
-            )
-            rhs2 = (
-                -rp
-                - cc_u / zeta_u
-                + eu * rd_u
-                + cc_v / zeta_v
-                - ev * rd_v
-                + _masked_div(ts, Ds, rowbounded)
-            )
-            # free rows contribute a fixed dy = -y to the p-equation
-            r1_t = r1 + op.a_rmv(
-                invE_soft * rhs2 + jnp.where(freerow, y, 0.0)
-            )
-            dp, dy_t = solve_block(r1_t, jnp.where(stiff, rhs2, 0.0))
-            Adp = op.a_mv(dp)
-            dy_soft = jnp.where(elim, (Adp - rhs2) * invE_soft, -y)
-            dy = jnp.where(stiff, dy_t, dy_soft)
-            du = cc_u / zeta_u - eu * (dy + rd_u)
-            dv = cc_v / zeta_v - ev * (rd_v - dy)
-            ds = _masked_div(dy + ts, Ds, rowbounded)
-            ds = jnp.where(freerow, Adp + du - dv + rp, ds)  # eq rows: 0
-            dzl = _masked_div(cc_pl - zl * dp, a_pl, hlb)
-            dzu = _masked_div(cc_pu + zu * dp, a_pu, hub)
-            dll = _masked_div(cc_sl - ll * ds, a_sl, hrl)
-            dlu = _masked_div(cc_su + lu * ds, a_su, hru)
-            dzeta_u = dy + rd_u
-            dzeta_v = rd_v - dy
-            return dp, ds, du, dv, dy, dzl, dzu, dll, dlu, dzeta_u, dzeta_v
 
-        # ---- predictor-corrector as ONE rolled stage (compile size) --------
-        # Stage 0 is the affine predictor, stage 1 the Mehrotra corrector.
-        # With the previous direction zero and smu masked to 0, the corrector
-        # right-hand sides reduce EXACTLY to the affine ones (the d*_a
-        # products vanish), so one traced Newton solve serves both stages —
-        # the static-bound fori_loop lowers to a scan whose body appears once
-        # in the HLO (the module was ~2x bigger with both solves inlined, and
-        # the axon remote-compile time scales with module size).
-        def pc_stage(k, d_prev):
-            (dp_a, ds_a, du_a, dv_a, dy_a,
-             dzl_a, dzu_a, dll_a, dlu_a, dzu_ua, dzv_va) = d_prev
-            is_cor = (k > 0).astype(dtype)
+        def body_fn(st):
+            p, s, u, v = st["p"], st["s"], st["u"], st["v"]
+            y, zl, zu, ll, lu = st["y"], st["zl"], st["zu"], st["ll"], st["lu"]
+            zeta_u, zeta_v = st["zeta_u"], st["zeta_v"]
 
-            # affine step size of the PREVIOUS direction (stage 1 only; at
-            # stage 0 the zero direction gives aa=1, mu_aff=mu — masked out)
-            ap_a = jnp.minimum(
+            # slack distances (masked; dummy 1 outside masks)
+            a_pl = jnp.where(hlb, p - lb_eff, 1.0)
+            a_pu = jnp.where(hub, ub_eff - p, 1.0)
+            a_sl = jnp.where(hrl, s - rl, 1.0)
+            a_su = jnp.where(hru, ru - s, 1.0)
+
+            rd_p, rp, rd_s, rd_u, rd_v = residuals(st)
+            mu = compl_mu(p, s, u, v, zl, zu, ll, lu, zeta_u, zeta_v)
+
+            # condensed matrix pieces (independent of the rhs -> factor once).
+            #
+            # Row elasticity E_i = u/zeta_u + v/zeta_v (+ 1/Ds for inequality
+            # rows) spans ~mu/w^2 (tight equality rows) to ~1/mu (slack rows):
+            # eliminating every row through 1/E_i (pure primal condensation)
+            # or none (pure range space) explodes the condition number at one
+            # extreme or the other.  Hybrid split: "soft" rows (large E) fold
+            # into the primal block K; "stiff" rows (small E — equalities and
+            # active constraints) are solved through an SPD Schur complement
+            #   S = A_t K^-1 A_t' + diag(E_t),
+            # whose E_t term acts as a bounded dual regularization.  Both
+            # factors stay well-conditioned across the whole barrier path.
+            Dp = _masked_div(zl, a_pl, hlb) + _masked_div(zu, a_pu, hub)
+            Ds = _masked_div(ll, a_sl, hrl) + _masked_div(lu, a_su, hru)
+            eu = u / zeta_u
+            ev = v / zeta_v
+            E = eu + ev + _masked_div(one_m, Ds, rowbounded)
+            soft = jnp.logical_or(E > 1.0, freerow)
+            # rows outside the operator's allowed set fold into K regardless of E
+            stiff = jnp.logical_and(~soft, allowed)
+            # bounded Schur set: the operator may shrink the stiff set to its
+            # capacity (DenseOp: keep the loop_cfg["cap"] globally stiffest rows;
+            # BbdOperator: per-part top-k into static part-local slots); the
+            # overflow folds into K via the bounded 1/max(E, invE_floor) like
+            # any soft row.  The SAME rule must produce the mask here and the
+            # gathered rows inside prepare(), so capping lives on the operator.
+            stiff = loop_cfg["op"].cap_stiff(stiff, E, loop_cfg["cap"])
+            elim = jnp.logical_and(~stiff, ~freerow)  # fold into K via 1/E
+            invE_soft = jnp.where(
+                elim, 1.0 / jnp.maximum(E, opts.invE_floor), 0.0
+            )
+            E_stiff = jnp.where(stiff, E, 1.0)
+
+            # --- factorization (operator backend) ------------------------------
+            # DenseOp: explicit K/S assembly; mixed_plane runs every matmul/
+            # factorization in float32 on the MXU with compute-dtype block-level
+            # refinement.  BbdOperator: bordered-block-diagonal K + dense
+            # equality Schur complement for structured large instances.
+            solve_block, fact_delta = loop_cfg["op"].prepare(
+                ridge_vec + Dp, invE_soft, stiff, E_stiff, st["delta"]
+            )
+
+            def newton(cc_pl, cc_pu, cc_sl, cc_su, cc_u, cc_v):
+                """One Newton solve for given complementarity targets.
+
+                cc_* are the right-hand sides of the linearized complementarity
+                equations (sigma*mu - a.z - corrector term)."""
+                r1 = (
+                    -rd_p
+                    + _masked_div(cc_pl, a_pl, hlb)
+                    - _masked_div(cc_pu, a_pu, hub)
+                )
+                ts = (
+                    -rd_s
+                    + _masked_div(cc_sl, a_sl, hrl)
+                    - _masked_div(cc_su, a_su, hru)
+                )
+                rhs2 = (
+                    -rp
+                    - cc_u / zeta_u
+                    + eu * rd_u
+                    + cc_v / zeta_v
+                    - ev * rd_v
+                    + _masked_div(ts, Ds, rowbounded)
+                )
+                # free rows contribute a fixed dy = -y to the p-equation
+                r1_t = r1 + op.a_rmv(
+                    invE_soft * rhs2 + jnp.where(freerow, y, 0.0)
+                )
+                dp, dy_t = solve_block(r1_t, jnp.where(stiff, rhs2, 0.0))
+                Adp = op.a_mv(dp)
+                dy_soft = jnp.where(elim, (Adp - rhs2) * invE_soft, -y)
+                dy = jnp.where(stiff, dy_t, dy_soft)
+                du = cc_u / zeta_u - eu * (dy + rd_u)
+                dv = cc_v / zeta_v - ev * (rd_v - dy)
+                ds = _masked_div(dy + ts, Ds, rowbounded)
+                ds = jnp.where(freerow, Adp + du - dv + rp, ds)  # eq rows: 0
+                dzl = _masked_div(cc_pl - zl * dp, a_pl, hlb)
+                dzu = _masked_div(cc_pu + zu * dp, a_pu, hub)
+                dll = _masked_div(cc_sl - ll * ds, a_sl, hrl)
+                dlu = _masked_div(cc_su + lu * ds, a_su, hru)
+                dzeta_u = dy + rd_u
+                dzeta_v = rd_v - dy
+                return dp, ds, du, dv, dy, dzl, dzu, dll, dlu, dzeta_u, dzeta_v
+
+            # ---- predictor-corrector as ONE rolled stage (compile size) --------
+            # Stage 0 is the affine predictor, stage 1 the Mehrotra corrector.
+            # With the previous direction zero and smu masked to 0, the corrector
+            # right-hand sides reduce EXACTLY to the affine ones (the d*_a
+            # products vanish), so one traced Newton solve serves both stages —
+            # the static-bound fori_loop lowers to a scan whose body appears once
+            # in the HLO (the module was ~2x bigger with both solves inlined, and
+            # the axon remote-compile time scales with module size).
+            def pc_stage(k, d_prev):
+                (dp_a, ds_a, du_a, dv_a, dy_a,
+                 dzl_a, dzu_a, dll_a, dlu_a, dzu_ua, dzv_va) = d_prev
+                is_cor = (k > 0).astype(dtype)
+
+                # affine step size of the PREVIOUS direction (stage 1 only; at
+                # stage 0 the zero direction gives aa=1, mu_aff=mu — masked out)
+                ap_a = jnp.minimum(
+                    jnp.minimum(
+                        _ftb_alpha(a_pl, dp_a, hlb, 1.0),
+                        _ftb_alpha(a_pu, -dp_a, hub, 1.0),
+                    ),
+                    jnp.minimum(
+                        jnp.minimum(
+                            _ftb_alpha(a_sl, ds_a, hrl, 1.0),
+                            _ftb_alpha(a_su, -ds_a, hru, 1.0),
+                        ),
+                        jnp.minimum(
+                            _ftb_alpha(u, du_a, jnp.ones_like(u, bool), 1.0),
+                            _ftb_alpha(v, dv_a, jnp.ones_like(v, bool), 1.0),
+                        ),
+                    ),
+                )
+                ad_a = jnp.minimum(
+                    jnp.minimum(
+                        _ftb_alpha(zl, dzl_a, hlb, 1.0),
+                        _ftb_alpha(zu, dzu_a, hub, 1.0),
+                    ),
+                    jnp.minimum(
+                        jnp.minimum(
+                            _ftb_alpha(ll, dll_a, hrl, 1.0),
+                            _ftb_alpha(lu, dlu_a, hru, 1.0),
+                        ),
+                        jnp.minimum(
+                            _ftb_alpha(zeta_u, dzu_ua, jnp.ones_like(u, bool), 1.0),
+                            _ftb_alpha(zeta_v, dzv_va, jnp.ones_like(v, bool), 1.0),
+                        ),
+                    ),
+                )
+                # single common step size: with Q != 0 separate primal/dual steps
+                # leave a (ap-ad)*Q*dp term in the dual residual that can stall
+                aa = jnp.minimum(ap_a, ad_a)
+                mu_aff = compl_mu(
+                    p + aa * dp_a, s + aa * ds_a, u + aa * du_a, v + aa * dv_a,
+                    zl + aa * dzl_a, zu + aa * dzu_a,
+                    ll + aa * dll_a, lu + aa * dlu_a,
+                    zeta_u + aa * dzu_ua, zeta_v + aa * dzv_va,
+                )
+                sigma = jnp.clip(
+                    (mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0
+                )
+                smu = is_cor * sigma * mu
+
+                return newton(
+                    jnp.where(hlb, smu - a_pl * zl - dp_a * dzl_a, 0.0),
+                    jnp.where(hub, smu - a_pu * zu - (-dp_a) * dzu_a, 0.0),
+                    jnp.where(hrl, smu - a_sl * ll - ds_a * dll_a, 0.0),
+                    jnp.where(hru, smu - a_su * lu - (-ds_a) * dlu_a, 0.0),
+                    smu - u * zeta_u - du_a * dzu_ua,
+                    smu - v * zeta_v - dv_a * dzv_va,
+                )
+
+            zero_dir = (
+                jnp.zeros_like(p), jnp.zeros_like(s), jnp.zeros_like(u),
+                jnp.zeros_like(v), jnp.zeros_like(y), jnp.zeros_like(zl),
+                jnp.zeros_like(zu), jnp.zeros_like(ll), jnp.zeros_like(lu),
+                jnp.zeros_like(zeta_u), jnp.zeros_like(zeta_v),
+            )
+            (dp, ds, du, dv, dy, dzl, dzu, dll, dlu, dzeta_u, dzeta_v) = (
+                lax.fori_loop(0, 2, pc_stage, zero_dir)
+            )
+
+            ap = jnp.minimum(
                 jnp.minimum(
-                    _ftb_alpha(a_pl, dp_a, hlb, 1.0),
-                    _ftb_alpha(a_pu, -dp_a, hub, 1.0),
+                    _ftb_alpha(a_pl, dp, hlb, tau),
+                    _ftb_alpha(a_pu, -dp, hub, tau),
                 ),
                 jnp.minimum(
                     jnp.minimum(
-                        _ftb_alpha(a_sl, ds_a, hrl, 1.0),
-                        _ftb_alpha(a_su, -ds_a, hru, 1.0),
+                        _ftb_alpha(a_sl, ds, hrl, tau),
+                        _ftb_alpha(a_su, -ds, hru, tau),
                     ),
                     jnp.minimum(
-                        _ftb_alpha(u, du_a, jnp.ones_like(u, bool), 1.0),
-                        _ftb_alpha(v, dv_a, jnp.ones_like(v, bool), 1.0),
+                        _ftb_alpha(u, du, jnp.ones_like(u, bool), tau),
+                        _ftb_alpha(v, dv, jnp.ones_like(v, bool), tau),
                     ),
                 ),
             )
-            ad_a = jnp.minimum(
+            ad = jnp.minimum(
                 jnp.minimum(
-                    _ftb_alpha(zl, dzl_a, hlb, 1.0),
-                    _ftb_alpha(zu, dzu_a, hub, 1.0),
+                    _ftb_alpha(zl, dzl, hlb, tau),
+                    _ftb_alpha(zu, dzu, hub, tau),
                 ),
                 jnp.minimum(
                     jnp.minimum(
-                        _ftb_alpha(ll, dll_a, hrl, 1.0),
-                        _ftb_alpha(lu, dlu_a, hru, 1.0),
+                        _ftb_alpha(ll, dll, hrl, tau),
+                        _ftb_alpha(lu, dlu, hru, tau),
                     ),
                     jnp.minimum(
-                        _ftb_alpha(zeta_u, dzu_ua, jnp.ones_like(u, bool), 1.0),
-                        _ftb_alpha(zeta_v, dzv_va, jnp.ones_like(v, bool), 1.0),
+                        _ftb_alpha(zeta_u, dzeta_u, jnp.ones_like(u, bool), tau),
+                        _ftb_alpha(zeta_v, dzeta_v, jnp.ones_like(v, bool), tau),
                     ),
                 ),
             )
-            # single common step size: with Q != 0 separate primal/dual steps
-            # leave a (ap-ad)*Q*dp term in the dual residual that can stall
-            aa = jnp.minimum(ap_a, ad_a)
-            mu_aff = compl_mu(
-                p + aa * dp_a, s + aa * ds_a, u + aa * du_a, v + aa * dv_a,
-                zl + aa * dzl_a, zu + aa * dzu_a,
-                ll + aa * dll_a, lu + aa * dlu_a,
-                zeta_u + aa * dzu_ua, zeta_v + aa * dzv_va,
+
+            alpha = jnp.minimum(ap, ad)
+            new = dict(st)
+            new["p"] = p + alpha * dp
+            new["s"] = jnp.where(eq, rl, s + alpha * ds)
+            new["u"] = u + alpha * du
+            new["v"] = v + alpha * dv
+            new["y"] = y + alpha * dy
+            new["zl"] = jnp.where(hlb, zl + alpha * dzl, 0.0)
+            new["zu"] = jnp.where(hub, zu + alpha * dzu, 0.0)
+            new["ll"] = jnp.where(hrl, ll + alpha * dll, 0.0)
+            new["lu"] = jnp.where(hru, lu + alpha * dlu, 0.0)
+            new["zeta_u"] = zeta_u + alpha * dzeta_u
+            new["zeta_v"] = zeta_v + alpha * dzeta_v
+            new["delta"] = fact_delta.astype(dtype) * 0.1  # decay the warm-started regularization
+            new["iters"] = st["iters"] + 1
+
+            pri, dual = scaled_residuals(new)
+            # relative complementarity: normalize by the primal objective scale.
+            # For an infeasible QP in elastic mode the objective is ~w * viol
+            # (huge), and the elastic dual zeta_u = w + y suffers eps*w
+            # cancellation as y -> -w; the relative measure converges well before
+            # that regime while remaining the absolute measure for ordinary QPs.
+            mu_total = compl_mu(
+                new["p"], new["s"], new["u"], new["v"], new["zl"], new["zu"],
+                new["ll"], new["lu"], new["zeta_u"], new["zeta_v"],
             )
-            sigma = jnp.clip(
-                (mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0
-            )
-            smu = is_cor * sigma * mu
-
-            return newton(
-                jnp.where(hlb, smu - a_pl * zl - dp_a * dzl_a, 0.0),
-                jnp.where(hub, smu - a_pu * zu - (-dp_a) * dzu_a, 0.0),
-                jnp.where(hrl, smu - a_sl * ll - ds_a * dll_a, 0.0),
-                jnp.where(hru, smu - a_su * lu - (-ds_a) * dlu_a, 0.0),
-                smu - u * zeta_u - du_a * dzu_ua,
-                smu - v * zeta_v - dv_a * dzv_va,
+            obj_scale = 1.0 + jnp.abs(primal_objective(new["p"], new["u"], new["v"]))
+            gap = mu_total * n_pairs / obj_scale
+            new["pri_res"], new["dual_res"], new["gap"] = pri, dual, gap
+            ltol = loop_cfg["tol"]
+            new["converged"] = jnp.logical_and(
+                pri < ltol, jnp.logical_and(dual < ltol, gap < ltol)
             )
 
-        zero_dir = (
-            jnp.zeros_like(p), jnp.zeros_like(s), jnp.zeros_like(u),
-            jnp.zeros_like(v), jnp.zeros_like(y), jnp.zeros_like(zl),
-            jnp.zeros_like(zu), jnp.zeros_like(ll), jnp.zeros_like(lu),
-            jnp.zeros_like(zeta_u), jnp.zeros_like(zeta_v),
-        )
-        (dp, ds, du, dv, dy, dzl, dzu, dll, dlu, dzeta_u, dzeta_v) = (
-            lax.fori_loop(0, 2, pc_stage, zero_dir)
-        )
-
-        ap = jnp.minimum(
-            jnp.minimum(
-                _ftb_alpha(a_pl, dp, hlb, tau),
-                _ftb_alpha(a_pu, -dp, hub, tau),
-            ),
-            jnp.minimum(
-                jnp.minimum(
-                    _ftb_alpha(a_sl, ds, hrl, tau),
-                    _ftb_alpha(a_su, -ds, hru, tau),
-                ),
-                jnp.minimum(
-                    _ftb_alpha(u, du, jnp.ones_like(u, bool), tau),
-                    _ftb_alpha(v, dv, jnp.ones_like(v, bool), tau),
-                ),
-            ),
-        )
-        ad = jnp.minimum(
-            jnp.minimum(
-                _ftb_alpha(zl, dzl, hlb, tau),
-                _ftb_alpha(zu, dzu, hub, tau),
-            ),
-            jnp.minimum(
-                jnp.minimum(
-                    _ftb_alpha(ll, dll, hrl, tau),
-                    _ftb_alpha(lu, dlu, hru, tau),
-                ),
-                jnp.minimum(
-                    _ftb_alpha(zeta_u, dzeta_u, jnp.ones_like(u, bool), tau),
-                    _ftb_alpha(zeta_v, dzeta_v, jnp.ones_like(v, bool), tau),
-                ),
-            ),
-        )
-
-        alpha = jnp.minimum(ap, ad)
-        new = dict(st)
-        new["p"] = p + alpha * dp
-        new["s"] = jnp.where(eq, rl, s + alpha * ds)
-        new["u"] = u + alpha * du
-        new["v"] = v + alpha * dv
-        new["y"] = y + alpha * dy
-        new["zl"] = jnp.where(hlb, zl + alpha * dzl, 0.0)
-        new["zu"] = jnp.where(hub, zu + alpha * dzu, 0.0)
-        new["ll"] = jnp.where(hrl, ll + alpha * dll, 0.0)
-        new["lu"] = jnp.where(hru, lu + alpha * dlu, 0.0)
-        new["zeta_u"] = zeta_u + alpha * dzeta_u
-        new["zeta_v"] = zeta_v + alpha * dzeta_v
-        new["delta"] = fact_delta.astype(dtype) * 0.1  # decay the warm-started regularization
-        new["iters"] = st["iters"] + 1
-
-        pri, dual = scaled_residuals(new)
-        # relative complementarity: normalize by the primal objective scale.
-        # For an infeasible QP in elastic mode the objective is ~w * viol
-        # (huge), and the elastic dual zeta_u = w + y suffers eps*w
-        # cancellation as y -> -w; the relative measure converges well before
-        # that regime while remaining the absolute measure for ordinary QPs.
-        mu_total = compl_mu(
-            new["p"], new["s"], new["u"], new["v"], new["zl"], new["zu"],
-            new["ll"], new["lu"], new["zeta_u"], new["zeta_v"],
-        )
-        obj_scale = 1.0 + jnp.abs(primal_objective(new["p"], new["u"], new["v"]))
-        gap = mu_total * n_pairs / obj_scale
-        new["pri_res"], new["dual_res"], new["gap"] = pri, dual, gap
-        ltol = loop_cfg["tol"]
-        new["converged"] = jnp.logical_and(
-            pri < ltol, jnp.logical_and(dual < ltol, gap < ltol)
-        )
-
-        # best-iterate bookkeeping + divergence/stall cutoffs
-        err = jnp.maximum(pri, jnp.maximum(dual, gap))
-        better = err < st["best"]["err"]
-        # stall: counts only once the best iterate is already *usable*
-        # (below sqrt(tol), the driver's step-acceptance threshold) — the
-        # early centering phase may plateau err legitimately.  In the usable
-        # regime demand a 10%-per-iteration improvement: the last decade
-        # above the mixed-precision floor otherwise consumes most of
-        # max_iter at max-over-lanes cost under vmap.
-        usable = st["best"]["err"] < jnp.sqrt(loop_cfg["tol"])
-        improved10 = err < 0.9 * st["best"]["err"]
-        new["since_improve"] = jnp.where(
-            jnp.logical_and(usable, ~improved10),
-            st["since_improve"] + 1,
-            0,
-        )
-        if opts.stall_iters > 0 and loop_cfg["guard"]:
-            new["failed"] = jnp.logical_or(
-                new["failed"], new["since_improve"] >= opts.stall_iters
+            # best-iterate bookkeeping + divergence/stall cutoffs
+            err = jnp.maximum(pri, jnp.maximum(dual, gap))
+            better = err < st["best"]["err"]
+            # stall: counts only once the best iterate is already *usable*
+            # (below sqrt(tol), the driver's step-acceptance threshold) — the
+            # early centering phase may plateau err legitimately.  In the usable
+            # regime demand a 10%-per-iteration improvement: the last decade
+            # above the mixed-precision floor otherwise consumes most of
+            # max_iter at max-over-lanes cost under vmap.
+            usable = st["best"]["err"] < jnp.sqrt(loop_cfg["tol"])
+            improved10 = err < 0.9 * st["best"]["err"]
+            new["since_improve"] = jnp.where(
+                jnp.logical_and(usable, ~improved10),
+                st["since_improve"] + 1,
+                0,
             )
-        b = st["best"]
-        new["best"] = dict(
-            p=jnp.where(better, new["p"], b["p"]),
-            y=jnp.where(better, new["y"], b["y"]),
-            zl=jnp.where(better, new["zl"], b["zl"]),
-            zu=jnp.where(better, new["zu"], b["zu"]),
-            u=jnp.where(better, new["u"], b["u"]),
-            v=jnp.where(better, new["v"], b["v"]),
-            err=jnp.where(better, err, b["err"]),
-            pri=jnp.where(better, pri, b["pri"]),
-            dual=jnp.where(better, dual, b["dual"]),
-            gap=jnp.where(better, gap, b["gap"]),
-        )
-        # 1e4: wide enough that a transient excursion at the float32
-        # precision floor (iterates wander once the Newton systems go
-        # noise-dominated) does not abort a solve whose best iterate is
-        # already usable — the best-iterate snapshot is what gets returned.
-        # Both cutoffs are PHASE-1 (f32) guards: the exact-factor second
-        # phase disables them (loop_cfg["guard"]) — its steps are trusted,
-        # and a lane crossing into the elastic (slack-growing) regime spikes
-        # err transiently in a way the divergence test misreads (observed:
-        # the stall rescue aborted after one trip on an elastically-solvable
-        # QP).  max_iter still bounds the phase.
-        if loop_cfg["guard"]:
-            diverging = err > 1.0e4 * jnp.maximum(
-                new["best"]["err"], loop_cfg["tol"]
+            if opts.stall_iters > 0 and loop_cfg["guard"]:
+                new["failed"] = jnp.logical_or(
+                    new["failed"], new["since_improve"] >= opts.stall_iters
+                )
+            b = st["best"]
+            new["best"] = dict(
+                p=jnp.where(better, new["p"], b["p"]),
+                y=jnp.where(better, new["y"], b["y"]),
+                zl=jnp.where(better, new["zl"], b["zl"]),
+                zu=jnp.where(better, new["zu"], b["zu"]),
+                u=jnp.where(better, new["u"], b["u"]),
+                v=jnp.where(better, new["v"], b["v"]),
+                err=jnp.where(better, err, b["err"]),
+                pri=jnp.where(better, pri, b["pri"]),
+                dual=jnp.where(better, dual, b["dual"]),
+                gap=jnp.where(better, gap, b["gap"]),
             )
-            new["failed"] = jnp.logical_or(new["failed"], diverging)
+            # 1e4: wide enough that a transient excursion at the float32
+            # precision floor (iterates wander once the Newton systems go
+            # noise-dominated) does not abort a solve whose best iterate is
+            # already usable — the best-iterate snapshot is what gets returned.
+            # Both cutoffs are PHASE-1 (f32) guards: the exact-factor second
+            # phase disables them (loop_cfg["guard"]) — its steps are trusted,
+            # and a lane crossing into the elastic (slack-growing) regime spikes
+            # err transiently in a way the divergence test misreads (observed:
+            # the stall rescue aborted after one trip on an elastically-solvable
+            # QP).  max_iter still bounds the phase.
+            if loop_cfg["guard"]:
+                diverging = err > 1.0e4 * jnp.maximum(
+                    new["best"]["err"], loop_cfg["tol"]
+                )
+                new["failed"] = jnp.logical_or(new["failed"], diverging)
 
-        # numerical-breakdown backstop: if anything went non-finite, revert to
-        # the previous iterate and stop (converged stays False -> the caller's
-        # "unexpected status" triage path, mirroring the reference's handling
-        # of a sub-solver that errors out, sqp_trust_region.jl:169-178)
-        finite = jnp.array(True)
-        for k in ("p", "s", "u", "v", "y", "zl", "zu", "ll", "lu",
-                  "zeta_u", "zeta_v"):
-            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(new[k])))
-        out = {}
-        for k in new:
-            old_val = st[k] if k in st else new[k]
-            out[k] = jax.tree.map(
-                lambda a, b: jnp.where(finite, a, b), new[k], old_val
-            )
-        # keep BOTH stop signals: the divergence cutoff computed above (lives
-        # in new["failed"]) and the non-finite backstop
-        out["failed"] = jnp.where(finite, new["failed"], True)
-        out["iters"] = new["iters"]
-        return out
+            # numerical-breakdown backstop: if anything went non-finite, revert to
+            # the previous iterate and stop (converged stays False -> the caller's
+            # "unexpected status" triage path, mirroring the reference's handling
+            # of a sub-solver that errors out, sqp_trust_region.jl:169-178)
+            finite = jnp.array(True)
+            for k in ("p", "s", "u", "v", "y", "zl", "zu", "ll", "lu",
+                      "zeta_u", "zeta_v"):
+                finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(new[k])))
+            out = {}
+            for k in new:
+                old_val = st[k] if k in st else new[k]
+                out[k] = jax.tree.map(
+                    lambda a, b: jnp.where(finite, a, b), new[k], old_val
+                )
+            # keep BOTH stop signals: the divergence cutoff computed above (lives
+            # in new["failed"]) and the non-finite backstop
+            out["failed"] = jnp.where(finite, new["failed"], True)
+            out["iters"] = new["iters"]
+            return out
 
-    st = lax.while_loop(cond_fn, body_fn, state0)
+        return cond_fn, body_fn
 
-    if do_polish:
-        # continue the SAME interior-point iteration with direct f64
-        # factorizations to the strict tolerance.  Lanes already strictly
-        # converged (and skipped lanes) take zero trips.  The swap is
-        # backend-generic: every operator supplies its own full-precision
-        # twin (DenseOp -> direct f64 factors; BbdOperator -> f64 block
-        # factors), so the stall rescue covers the structured path too.
-        #
-        # Schur-cap policy (see DenseOp.rescue_op): the STALL-RESCUE use
-        # (tol at/above the mixed floor) keeps the bounded Schur set — an
-        # uncapped f64 (m, m) factorization per trip is seconds of emulated
-        # f64 at case118 scale and a rescue-heavy chunk crosses the 60 s
-        # execution watchdog; the strict mixed_polish use (tol below the
-        # floor) lifts the cap for full dual accuracy.
-        strict_polish = float(opts.tol) < _POLISH_FLOOR
-        loop_cfg["op"] = loop_cfg["op"].rescue_op(keep_cap=not strict_polish)
-        tol_p2 = jnp.asarray(opts.tol, dtype)
-        if tol_override is not None:
-            # the inexact-SQP relaxation applies to BOTH phases: a lane the
-            # driver only wants solved loosely must not pay f64 iterations
-            # chasing the strict target
-            tol_p2 = jnp.maximum(tol_p2, jnp.asarray(tol_override, dtype))
-        loop_cfg["tol"] = tol_p2
-        loop_cfg["max_iter"] = opts.max_iter + opts.polish_iters
-        loop_cfg["cap"] = 0 if strict_polish else opts.schur_cap
-        loop_cfg["guard"] = False
-        tol_s = tol_p2
+    # ---- phase-2 (f64 polish / stall rescue) configuration -----------------
+    # Schur-cap policy (see DenseOp.rescue_op): the STALL-RESCUE use (tol
+    # at/above the mixed floor) keeps the bounded Schur set — an uncapped
+    # f64 (m, m) factorization per trip is seconds of emulated f64 at
+    # case118 scale; the strict mixed_polish use (tol below the floor)
+    # lifts the cap for full dual accuracy.
+    strict_polish = (float(opts.tol) < _POLISH_FLOOR) if do_polish else False
+    tol_p2 = jnp.asarray(opts.tol, dtype)
+    if tol_override is not None:
+        # the inexact-SQP relaxation applies to BOTH phases: a lane the
+        # driver only wants solved loosely must not pay f64 iterations
+        # chasing the strict target
+        tol_p2 = jnp.maximum(tol_p2, jnp.asarray(tol_override, dtype))
+    max_iter2 = opts.max_iter + opts.polish_iters
+    cap2 = 0 if strict_polish else opts.schur_cap
+
+    def phase2_entry(st):
+        """Transition into the f64 polish/rescue phase: continue the SAME
+        interior-point iteration with direct compute-dtype factorizations.
+        Lanes already strictly converged (and skipped lanes) take zero
+        phase-2 trips.  The swap is backend-generic: every operator supplies
+        its own full-precision twin (DenseOp -> direct f64 factors;
+        BbdOperator -> f64 block factors), so the stall rescue covers the
+        structured path too.
+
+        Entry selection (all per-solve scalars, so vmap lanes diverge
+        freely): strict/skipped lanes take zero trips; lanes that converged
+        at the phase-1 (floored) tolerance CONTINUE warm (the mixed_polish
+        floor->tol case); lanes that exited unconverged RESTART COLD with
+        exact factors — an f32 exit is typically jammed at a degenerate
+        corner (complementarity pair at the boundary, fraction-to-boundary
+        alpha ~ 0) where exact Newton steps cannot recover either, while a
+        fresh exact solve converges normally."""
         strict = jnp.logical_and(
-            st["pri_res"] < tol_s,
-            jnp.logical_and(st["dual_res"] < tol_s, st["gap"] < tol_s),
+            st["pri_res"] < tol_p2,
+            jnp.logical_and(st["dual_res"] < tol_p2, st["gap"] < tol_p2),
         )
         skiparr = (
             jnp.array(False) if skip is None else jnp.asarray(skip, bool)
         )
-        # entry selection (all per-solve scalars, so vmap lanes diverge
-        # freely): strict/skipped lanes take zero trips; lanes that
-        # converged at the phase-1 (floored) tolerance CONTINUE warm (the
-        # mixed_polish floor->tol case); lanes that exited unconverged
-        # RESTART COLD with exact factors — an f32 exit is typically jammed
-        # at a degenerate corner (complementarity pair at the boundary,
-        # fraction-to-boundary alpha ~ 0) where exact Newton steps cannot
-        # recover either, while a fresh exact solve converges normally.
         done2 = jnp.logical_or(strict, skiparr)
         cold = jnp.logical_and(~done2, ~st["converged"])
         best1 = st["best"]
@@ -1199,7 +1214,7 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
         st = jax.tree.map(
             lambda a, b: jnp.where(cold, b, a), st, state0_cold
         )
-        st = dict(
+        return dict(
             st,
             best=best1,  # the return value considers both phases
             converged=done2,
@@ -1207,42 +1222,161 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
             since_improve=jnp.array(0, jnp.int32),
             iters=jnp.where(cold, 0, st["iters"]).astype(jnp.int32),
         )
-        # fresh function OBJECTS for the second loop: jax caches the traced
-        # (initial-style) jaxpr of while_loop cond/body keyed on the function
-        # object's identity, so reusing cond_fn/body_fn here would silently
-        # replay the PHASE-1 trace — the loop_cfg mutations above would never
-        # be seen, phase 2 would inherit max_iter/tol/op from phase 1 and
-        # exit after zero trips (observed: the polish/rescue phase was a
-        # no-op under jit while working under disable_jit)
-        st = lax.while_loop(
-            lambda s: cond_fn(s), lambda s: body_fn(s), st
+
+    def finalize(st):
+        """Return the best iterate seen (identical to the final one in the
+        normal well-conditioned case)."""
+        b = st["best"]
+        pri, dual, gap = b["pri"], b["dual"], b["gap"]
+        converged = jnp.logical_and(
+            pri < opts.tol, jnp.logical_and(dual < opts.tol, gap < opts.tol)
         )
 
-    # return the best iterate seen (identical to the final one in the normal
-    # well-conditioned case)
-    b = st["best"]
-    pri, dual, gap = b["pri"], b["dual"], b["gap"]
-    converged = jnp.logical_and(
-        pri < opts.tol, jnp.logical_and(dual < opts.tol, gap < opts.tol)
+        # reduced costs: for fixed variables, recover from stationarity of
+        # the ORIGINAL problem and sign-split (mirrors
+        # subproblem_JuMP.jl:543-550)
+        redcost_fixed = op.q_mv(b["p"]) + c + op.a_rmv(b["y"])
+        mult_lo = jnp.where(fixed, _pos(redcost_fixed), b["zl"])
+        mult_up = jnp.where(fixed, _pos(-redcost_fixed), b["zu"])
+        p_out = jnp.where(fixed, fixval, b["p"])
+
+        return QpSolution(
+            p=p_out,
+            y=b["y"],
+            mult_lo=mult_lo,
+            mult_up=mult_up,
+            slack_u=b["u"],
+            slack_v=b["v"],
+            iters=st["iters"],
+            converged=converged,
+            pri_res=pri,
+            dual_res=dual,
+            gap=gap,
+        )
+
+    return dict(
+        state0=state0,
+        make_loop=make_loop,
+        phase2_entry=phase2_entry,
+        finalize=finalize,
+        do_polish=do_polish,
+        strict_polish=strict_polish,
+        tol_p1=tol_p1,
+        tol_p2=tol_p2,
+        max_iter1=opts.max_iter,
+        max_iter2=max_iter2,
+        cap1=opts.schur_cap,
+        cap2=cap2,
+        op=op,
     )
 
-    # reduced costs: for fixed variables, recover from stationarity of the
-    # ORIGINAL problem and sign-split (mirrors subproblem_JuMP.jl:543-550)
-    redcost_fixed = op.q_mv(b["p"]) + c + op.a_rmv(b["y"])
-    mult_lo = jnp.where(fixed, _pos(redcost_fixed), b["zl"])
-    mult_up = jnp.where(fixed, _pos(-redcost_fixed), b["zu"])
-    p_out = jnp.where(fixed, fixval, b["p"])
 
-    return QpSolution(
-        p=p_out,
-        y=b["y"],
-        mult_lo=mult_lo,
-        mult_up=mult_up,
-        slack_u=b["u"],
-        slack_v=b["v"],
-        iters=st["iters"],
-        converged=converged,
-        pri_res=pri,
-        dual_res=dual,
-        gap=gap,
+def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
+                   init=None, tol_override=None):
+    """Monolithic execution: phase-1 while_loop, then (when configured) the
+    phase-2 polish/rescue while_loop inside the same device program."""
+    b = _ipm_bundle(
+        Q, c, A, rl, ru, lb, ub, w, opts, skip=skip, op=op, init=init,
+        tol_override=tol_override,
     )
+    cond1, body1 = b["make_loop"](
+        b["op"], b["tol_p1"], b["max_iter1"], b["cap1"], True
+    )
+    st = lax.while_loop(cond1, body1, b["state0"])
+    if b["do_polish"]:
+        op2 = b["op"].rescue_op(keep_cap=not b["strict_polish"])
+        st = b["phase2_entry"](st)
+        # make_loop hands out fresh cond/body function objects per phase
+        # (see its docstring) — phase 2 gets its own trace with the rescue
+        # operator, the strict tolerance, and the guards lifted
+        cond2, body2 = b["make_loop"](
+            op2, b["tol_p2"], b["max_iter2"], b["cap2"], False
+        )
+        st = lax.while_loop(cond2, body2, st)
+    return b["finalize"](st)
+
+
+# --------------------------------------------------------------------------
+# resumable micro-stepped execution (VERDICT r4 item 2)
+# --------------------------------------------------------------------------
+#
+# The axon tunnel kills any single device-program execution at 60 s.  The
+# round-4 chunked driver (parallel.batch.make_chunked_batch_solver) bounds a
+# device call at ONE outer SQP iteration, but the watchdog-atomic unit
+# inside that is one QP solve — and a rescue-storm QP (dozens of
+# f64-emulated factorization trips at n ~ 344) measured 44-60+ s even at
+# slab width 4 (BASELINE.md r4 fault ladder).  These entry points split the
+# QP itself: ``qp_micro_start`` runs the cheap f32 phase 1 plus the phase-2
+# entry transition, and the host then advances the f64 phase-2 loop at most
+# ``trip_cap`` trips per ``qp_micro_resume`` call, carrying the IPM state
+# pytree across calls (algorithms.sqp_tr builds the driver-level state
+# machine on top).  The trip sequence is bit-identical to the monolithic
+# phase-2 while_loop: same body closures from the same bundle, only the
+# execution is cut at trip boundaries.
+
+
+def qp_micro_start(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, init=None,
+                   tol_override=None, op=None):
+    """Run phase 1 + the phase-2 entry transition; return the resumable IPM
+    state dict (a fixed-structure pytree)."""
+    with jax.default_matmul_precision("float32"):
+        b = _ipm_bundle(
+            Q, c, A, rl, ru, lb, ub, w, opts, skip=skip, op=op, init=init,
+            tol_override=tol_override,
+        )
+        cond1, body1 = b["make_loop"](
+            b["op"], b["tol_p1"], b["max_iter1"], b["cap1"], True
+        )
+        st = lax.while_loop(cond1, body1, b["state0"])
+        if b["do_polish"]:
+            st = b["phase2_entry"](st)
+        return st
+
+
+def qp_micro_resume(st, Q, c, A, rl, ru, lb, ub, w, opts, trip_cap,
+                    skip=None, init=None, tol_override=None, op=None):
+    """Advance the phase-2 (f64 polish/rescue) loop by at most ``trip_cap``
+    trips (a traced scalar — one compile covers every cap).  No-op when the
+    configuration has no phase 2."""
+    with jax.default_matmul_precision("float32"):
+        b = _ipm_bundle(
+            Q, c, A, rl, ru, lb, ub, w, opts, skip=skip, op=op, init=init,
+            tol_override=tol_override,
+        )
+        if not b["do_polish"]:
+            return st
+        op2 = b["op"].rescue_op(keep_cap=not b["strict_polish"])
+        cond2, body2 = b["make_loop"](
+            op2, b["tol_p2"], b["max_iter2"], b["cap2"], False
+        )
+
+        def cond(carry):
+            st_, k = carry
+            return jnp.logical_and(cond2(st_), k < trip_cap)
+
+        def body(carry):
+            st_, k = carry
+            return body2(st_), k + 1
+
+        st, _ = lax.while_loop(cond, body, (st, jnp.array(0, jnp.int32)))
+        return st
+
+
+def qp_micro_done(st, opts: IpmOptions):
+    """Per-lane bool: this QP needs no further phase-2 trips (converged,
+    failed, or out of iterations) — its solution is final."""
+    max2 = opts.max_iter + opts.polish_iters
+    return jnp.logical_or(
+        jnp.logical_or(st["converged"], st["failed"]), st["iters"] >= max2
+    )
+
+
+def qp_micro_finalize(st, Q, c, A, rl, ru, lb, ub, w, opts, skip=None,
+                      init=None, tol_override=None, op=None):
+    """Extract the QpSolution from a (finished or in-flight) micro state."""
+    with jax.default_matmul_precision("float32"):
+        b = _ipm_bundle(
+            Q, c, A, rl, ru, lb, ub, w, opts, skip=skip, op=op, init=init,
+            tol_override=tol_override,
+        )
+        return b["finalize"](st)
