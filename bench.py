@@ -200,11 +200,25 @@ def main():
         )
     )
 
+    # micro-stepped rescue (VERDICT r4 item 2): at case118 scale one
+    # rescue/restoration QP (dozens of f64-emulated factor trips) exceeds
+    # the 60 s watchdog even at slab width 4 — the fallback twin advances
+    # in-flight QPs at most this many f64 trips per device call.  0 = off.
+    micro_trips = int(
+        os.environ.get(
+            "SQP_BENCH_MICRO",
+            "4" if (not structured and nlp.n >= 160) else "0",
+        )
+    )
+    if micro_trips:
+        log(f"micro_trips={micro_trips}")
+
     def build_solver():
         if chunked:
             return make_chunked_batch_solver(
                 nlp, params, sub_batch=sub_batch, log=log,
                 rescue_fallback=not params.qp_rescue,
+                micro_trips=micro_trips,
             )
         return make_batch_solver(nlp, params)
 
@@ -265,7 +279,9 @@ def main():
     )
     serial_chunked = chunked and (nbus >= 118 or params.qp_rescue)
     if serial_chunked:
-        serial_solver = make_chunked_batch_solver(nlp, serial_params)
+        serial_solver = make_chunked_batch_solver(
+            nlp, serial_params, micro_trips=micro_trips
+        )
     else:
         serial_solver = make_batch_solver(nlp, serial_params)  # b=1 slices
     n_serial = (

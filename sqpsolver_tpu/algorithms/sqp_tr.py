@@ -50,7 +50,16 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..nlp import NLP, NLPData, initial_point
-from ..ops.qp_ipm import IpmOptions, solve_qp, solve_qp_op
+from ..ops.qp_ipm import (
+    IpmOptions,
+    qp_micro_done,
+    qp_micro_finalize,
+    qp_micro_resume,
+    qp_micro_start,
+    qp_micro_template,
+    solve_qp,
+    solve_qp_op,
+)
 from ..parameters import Parameters
 from ..status import Status
 from .common import (
@@ -115,6 +124,25 @@ class SqpState(NamedTuple):
     n_fr_iters: Array
     n_qp_bad: Array  # consecutive stalled-QP count (see stage 3c)
     stats: Any  # dict of per-iteration arrays or None
+
+
+class MicroState(NamedTuple):
+    """Driver state of the micro-stepped execution (``_micro_step``): the
+    SQP state plus the in-flight IPM state of the current subproblem QP.
+
+    WHY (VERDICT r4 item 2): the axon tunnel kills any single device
+    execution at 60 s, the round-4 chunked driver bounds a call at one SQP
+    iteration, and the remaining watchdog-atomic unit is ONE QP — a
+    rescue-storm QP (dozens of f64-emulated factorization trips at n~344)
+    measured 44-60+ s even at slab width 4.  Carrying the IPM state across
+    device calls lets the host advance the f64 rescue loop a few trips at a
+    time; lanes whose QP is still in flight simply do not advance their SQP
+    iteration (``qp_active``), so the trip sequence is bit-identical to the
+    monolithic solve."""
+
+    sqp: SqpState
+    qp: Any  # resumable IPM state dict (ops.qp_ipm micro API)
+    qp_active: Array  # bool: this lane's subproblem QP is mid-flight
 
 
 class SqpResult(NamedTuple):
@@ -590,13 +618,12 @@ def make_solver(
             1.0e-3,
         )
 
-    def solve_subproblem(st: SqpState, d: NLPData, H_qp):
-        """Normal/FR trust-region QP via input selection (no control flow —
-        mirrors the sub_optimize! dispatch at sqp_trust_region.jl:314-331).
-
-        Done lanes skip: their inner IPM while_loop exits at iteration 0, so
-        a batch's QP cost follows the slowest *active* lane (per-lane early
-        exit, VERDICT r1 item 2)."""
+    def subproblem_inputs(st: SqpState, d: NLPData, H_qp):
+        """Problem data of the normal/FR trust-region QP, via input
+        selection (no control flow — mirrors the sub_optimize! dispatch at
+        sqp_trust_region.jl:314-331).  Pure function of the SQP state, so
+        the micro-stepped driver can rebuild identical QP data on every
+        resume call (x/lam/E/tr are frozen while a QP is in flight)."""
         rl = d.g_l - st.E
         ru = d.g_u - st.E
         lb, ub = _trust_region_box(st.x, d.x_l, d.x_u, st.tr)
@@ -625,15 +652,34 @@ def make_solver(
         tol_dyn = _adaptive_qp_tol(st)
         if structured:
             Q = jax.tree.map(lambda h: jnp.where(st.fr, 0.0, h), H_qp)
+        else:
+            Q = jnp.where(st.fr, jnp.zeros_like(st.H), H_qp)
+        return Q, c, rl, ru, lb, ub, w, init, tol_dyn, freed
+
+    def solve_subproblem(st: SqpState, d: NLPData, H_qp):
+        """Normal/FR trust-region QP: inputs -> solve -> triage.
+
+        Done lanes skip: their inner IPM while_loop exits at iteration 0, so
+        a batch's QP cost follows the slowest *active* lane (per-lane early
+        exit, VERDICT r1 item 2)."""
+        Q, c, rl, ru, lb, ub, w, init, tol_dyn, freed = subproblem_inputs(
+            st, d, H_qp
+        )
+        if structured:
             sol = solve_qp_structured(
                 Q, st.J, c, rl, ru, lb, ub, w, st.done, init, tol_dyn
             )
         else:
-            Q = jnp.where(st.fr, jnp.zeros_like(st.H), H_qp)
             sol = solve_qp(
                 Q, c, st.J, rl, ru, lb, ub, w, opts=ipm_opts, skip=st.done,
                 init=init, tol_override=tol_dyn,
             )
+        return triage_subproblem(st, d, sol, freed)
+
+    def triage_subproblem(st: SqpState, d: NLPData, sol, freed):
+        """Post-solve classification shared by the monolithic and
+        micro-stepped drivers: TR-vs-true-bound dual masking, the
+        infeasibility certificate, and the stalled-QP signal."""
         # keep a box dual as an NLP bound multiplier only when the TRUE
         # variable bound (not the trust region) is the active side of the
         # clipped box.  The reference stores JuMP reduced costs of the
@@ -813,11 +859,12 @@ def make_solver(
         return s
 
     # ----------------------------------------------------------- the loop ---
-    def body(st: SqpState, d: NLPData) -> SqpState:
+    def stage_refresh(st: SqpState, d: NLPData) -> SqpState:
+        """Stage 1: refresh evaluations iff the last step was accepted
+        (sqp_trust_region.jl:134-138).  Idempotent while a QP is in flight
+        (x/lam unchanged), which the micro-stepped driver relies on."""
         theta = d.theta
 
-        # 1. refresh evaluations iff the last step was accepted
-        #    (sqp_trust_region.jl:134-138)
         def refresh(_):
             f, df, E, J, H = eval_all(st.x, st.lam, theta)
             prim = viol1(E, st.x, d)
@@ -831,13 +878,23 @@ def make_solver(
             return st.f, st.df, st.E, st.J, st.H, st.prim_infeas, st.dual_infeas
 
         f, df, E, J, H, prim, dual = lax.cond(st.step_accepted, refresh, keep, None)
-        st = st._replace(
+        return st._replace(
             f=f, df=df, E=E, J=J, H=H, prim_infeas=prim, dual_infeas=dual
         )
 
-        # 2. QP subproblem + dual/penalty bookkeeping (compute_step!, :370-380)
+    def body(st: SqpState, d: NLPData) -> SqpState:
+        st = stage_refresh(st, d)
+        # 2. QP subproblem (compute_step!, :370-380)
         H_qp = convexify(st.H, st.iter)
         sol, qp_infeasible, qp_bad = solve_subproblem(st, d, H_qp)
+        return stages_post_qp(st, d, H_qp, sol, qp_infeasible, qp_bad)
+
+    def stages_post_qp(
+        st: SqpState, d: NLPData, H_qp, sol, qp_infeasible, qp_bad
+    ) -> SqpState:
+        """Stages 2(tail)-9: dual/penalty bookkeeping, status triage,
+        merit/convergence tests, step acceptance, TR update, counters."""
+        theta = d.theta
         failed = jnp.logical_or(qp_infeasible, qp_bad)
         p = jnp.where(failed, 0.0, sol.p)
         p_lam = jnp.where(failed, 0.0, sol.y - st.lam)
@@ -1240,6 +1297,70 @@ def make_solver(
         # (observed deadlocking under pytest's output capture).
         return lax.while_loop(cond_fn, lambda s: body(s, d), st)
 
+    # ------------------------------------------- micro-stepped driver ------
+    # Dense backend only: the structured (BBD) path needs no f64 rescue with
+    # the ladder shift (BASELINE.md r4: case118 structured+ladder converges
+    # rescue-free), so the watchdog-atomic-QP problem is a dense-path one.
+    def micro_init(d: NLPData) -> MicroState:
+        st = init_state(d)
+        H_qp = convexify(st.H, st.iter)
+        Q, cq, rl, ru, lb, ub, wq, initq, tol_dyn, _ = subproblem_inputs(
+            st, d, H_qp
+        )
+        qp0 = qp_micro_template(
+            Q, cq, st.J, rl, ru, lb, ub, wq, opts=ipm_opts,
+            skip=jnp.array(True), init=initq, tol_override=tol_dyn,
+        )
+        return MicroState(sqp=st, qp=qp0, qp_active=jnp.array(False))
+
+    def micro_step(ms: MicroState, d: NLPData, trip_cap) -> MicroState:
+        """One bounded device call of the micro-stepped state machine:
+
+        * fresh lanes (no QP in flight) run stage 1, build their QP, run the
+          cheap f32 phase 1 and the phase-2 entry transition;
+        * every lane with an unfinished QP then advances the f64 phase-2
+          loop by at most ``trip_cap`` trips (traced scalar — one compile
+          covers every cap);
+        * lanes whose QP finished complete the SQP iteration (stages 3-9);
+          the rest keep their IPM state and do NOT advance ``iter``.
+
+        The QP problem data is rebuilt from the (frozen) SQP state each
+        call — bit-identical inputs, only the IPM state travels.  The SOC
+        QP, when enabled, still runs atomically inside the completing call.
+        """
+        st = stage_refresh(ms.sqp, d)
+        H_qp = convexify(st.H, st.iter)
+        Q, cq, rl, ru, lb, ub, wq, initq, tol_dyn, freed = subproblem_inputs(
+            st, d, H_qp
+        )
+        kw = dict(opts=ipm_opts, init=initq, tol_override=tol_dyn)
+        skip_fresh = jnp.logical_or(st.done, ms.qp_active)
+        qp_fresh = qp_micro_start(
+            Q, cq, st.J, rl, ru, lb, ub, wq, skip=skip_fresh, **kw
+        )
+        ipm = jax.tree.map(
+            lambda a, b: jnp.where(ms.qp_active, a, b), ms.qp, qp_fresh
+        )
+        ipm = qp_micro_resume(
+            ipm, Q, cq, st.J, rl, ru, lb, ub, wq, trip_cap=trip_cap,
+            skip=st.done, **kw
+        )
+        finished = qp_micro_done(ipm, ipm_opts)
+        sol = qp_micro_finalize(
+            ipm, Q, cq, st.J, rl, ru, lb, ub, wq, skip=st.done, **kw
+        )
+        sol, qp_infeasible, qp_bad = triage_subproblem(st, d, sol, freed)
+        st2 = stages_post_qp(st, d, H_qp, sol, qp_infeasible, qp_bad)
+        adv = jnp.logical_or(st.done, finished)
+        new_sqp = jax.tree.map(
+            lambda a, b: jnp.where(adv, a, b), st2, st
+        )
+        return MicroState(
+            sqp=new_sqp,
+            qp=ipm,
+            qp_active=jnp.logical_and(~adv, ~st.done),
+        )
+
     def finalize(st: SqpState, d: NLPData) -> SqpResult:
         # iteration-limit downgrade (sqp.jl:215-224)
         hit_limit = ~st.done
@@ -1291,4 +1412,8 @@ def make_solver(
     solve_with_clock._init_state = init_state
     solve_with_clock._run_until = run_until
     solve_with_clock._finalize = finalize
+    # micro-stepped handles (parallel/batch.py micro_trips mode)
+    solve_with_clock._micro_init = micro_init
+    solve_with_clock._micro_step = micro_step
+    solve_with_clock._micro_supported = not structured
     return solve_with_clock

@@ -1315,6 +1315,18 @@ def _solve_qp_impl(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, op=None,
 # execution is cut at trip boundaries.
 
 
+def qp_micro_template(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, init=None,
+                      tol_override=None, op=None):
+    """A correctly-shaped IPM state pytree (the bundle's initial state) with
+    no loop work — the zero template a driver-level state machine carries
+    for lanes that have no QP in flight."""
+    b = _ipm_bundle(
+        Q, c, A, rl, ru, lb, ub, w, opts, skip=skip, op=op, init=init,
+        tol_override=tol_override,
+    )
+    return b["state0"]
+
+
 def qp_micro_start(Q, c, A, rl, ru, lb, ub, w, opts, skip=None, init=None,
                    tol_override=None, op=None):
     """Run phase 1 + the phase-2 entry transition; return the resumable IPM

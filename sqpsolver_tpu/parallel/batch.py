@@ -72,6 +72,7 @@ def make_chunked_batch_solver(
     sub_batch: int = 0,
     log: Callable[[str], None] | None = None,
     rescue_fallback: bool = False,
+    micro_trips: int = 0,
 ) -> Callable[[NLPData], SqpResult]:
     """Batched solver advanced in host-controlled chunks of outer iterations.
 
@@ -135,6 +136,26 @@ def make_chunked_batch_solver(
     run_b = jax.jit(jax.vmap(solver._run_until, in_axes=(0, 0, None)))
     fin_b = jax.jit(jax.vmap(solver._finalize))
     max_iter = params.max_iter
+    # micro-stepped mode (``micro_trips`` > 0): ONE SQP iteration is no
+    # longer the atomic unit — each device call advances the f64 rescue
+    # phase of an in-flight QP by at most micro_trips trips (sqp_tr
+    # MicroState docstring).  The round-4 fault ladder showed a single
+    # rescue/restoration QP at n=344 exceeding the 60 s watchdog even at
+    # slab width 4; this is the level below ``run_until`` that fixes it.
+    # only configs with an actual f64 second phase benefit: for a phase-1-
+    # only program every QP finishes in its first micro call and micro mode
+    # degenerates to one-iteration chunks (strictly worse than the adaptive
+    # controller above)
+    micro = (
+        bool(micro_trips)
+        and getattr(solver, "_micro_supported", False)
+        and (params.qp_rescue or params.kkt_precision == "mixed_polish")
+    )
+    if micro:
+        minit_b = jax.jit(jax.vmap(solver._micro_init))
+        mstep_b = jax.jit(
+            jax.vmap(solver._micro_step, in_axes=(0, 0, None))
+        )
 
     @jax.jit
     def _gather(tree, idx):
@@ -145,6 +166,70 @@ def make_chunked_batch_solver(
         return jax.tree.map(
             lambda f, s: f.at[idx].set(s), full, slab
         )
+
+    def _solve_micro(data: NLPData, B: int, W: int) -> SqpResult:
+        """Micro-stepped host loop: same work-queue slab scheduling as the
+        chunked loop below, but each device call advances in-flight QPs by
+        at most ``micro_trips`` f64 rescue trips instead of whole SQP
+        iterations."""
+        import time as _time
+
+        cap = jnp.asarray(int(micro_trips), jnp.int32)
+        t0 = _time.time()
+        if W == B:
+            ms = minit_b(data)
+        else:
+            idx_all = np.arange(B)
+            slabs = []
+            for i in range(0, B, W):
+                sel = idx_all[i : i + W]
+                if len(sel) < W:
+                    sel = np.concatenate(
+                        [sel, np.full(W - len(sel), sel[-1])]
+                    )
+                slabs.append(minit_b(_gather(data, jnp.asarray(sel))))
+            ms = (
+                jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=0)[:B], *slabs
+                )
+                if len(slabs) > 1
+                else slabs[0]
+            )
+        jax.block_until_ready(ms.sqp.x)
+        if log:
+            log(f"micro: init {_time.time() - t0:.1f}s "
+                f"(B={B}, W={W}, cap={int(micro_trips)})")
+        calls = 0
+        while True:
+            it = np.asarray(ms.sqp.iter)
+            done = np.asarray(ms.sqp.done)
+            active = np.where(~done & (it <= max_iter))[0]
+            if active.size == 0:
+                break
+            # work queue: least-advanced active lanes form the slab (ties
+            # include the in-flight-QP lanes, which sit at the same iter
+            # until their QP completes); pad with done lanes — their QPs
+            # skip at trip 0
+            order = active[np.argsort(it[active], kind="stable")]
+            sel = order[:W]
+            if sel.size < W:
+                pad_pool = np.setdiff1d(np.arange(B), sel)
+                sel = np.concatenate([sel, pad_pool[: W - sel.size]])
+            sel_d = jnp.asarray(np.sort(sel))
+            t0 = _time.time()
+            ms_slab = mstep_b(
+                _gather(ms, sel_d), _gather(data, sel_d), cap
+            )
+            jax.block_until_ready(ms_slab.sqp.x)
+            ms = _scatter(ms, ms_slab, sel_d)
+            calls += 1
+            if log:
+                done_now = int(np.asarray(ms.sqp.done).sum())
+                inflight = int(np.asarray(ms.qp_active).sum())
+                log(f"micro: call {calls} ran {_time.time() - t0:.1f}s "
+                    f"({done_now}/{B} done, slab {sel.size}, "
+                    f"{inflight} QPs in flight)")
+        return fin_b(ms.sqp, data)
 
     def solve(data: NLPData) -> SqpResult:
         import time as _time
@@ -168,6 +253,12 @@ def make_chunked_batch_solver(
         W = min(sub_batch, B) if sub_batch else B
         if params.qp_rescue and W < 4:
             W = min(4, B)  # same MSA-crash avoidance for the slab width
+
+        if micro:
+            res = _solve_micro(data, B, W)
+            if B != B_req:  # drop the degenerate-width padding lanes
+                res = jax.tree.map(lambda a: a[:B_req], res)
+            return res
 
         t0 = _time.time()
         if W == B:
@@ -320,6 +411,7 @@ def make_chunked_batch_solver(
                     sub_batch=_fb_width(),
                     log=log,
                     rescue_fallback=False,
+                    micro_trips=micro_trips,
                 )
             )
         return _fb_cache[0]
