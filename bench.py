@@ -234,17 +234,33 @@ def main():
     t0 = time.time()
     out = solver(data)
     jax.block_until_ready(out.x)
-    log(f"compile+first-run: {time.time() - t0:.1f}s")
+    t_first = time.time() - t0
+    log(f"compile+first-run: {t_first:.1f}s")
     summ = summarize_batch(out)
     log(f"batched summary: {summ}")
 
-    # timed batched runs
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        out = solver(data)
-        jax.block_until_ready(out.x)
-    t_batched = (time.time() - t0) / reps
+    # timed batched runs: up to 3 reps, but stop after the first once the
+    # measured wall makes further reps a poor use of the budget (a dense
+    # case118 two-pass rescue solve runs ~30 min per rep — three reps of it
+    # would starve the serial baseline and the driver's time budget).
+    # SQP_BENCH_TIME_WARMUP=1 uses the warm-up run itself as the (single)
+    # timed sample — valid ONLY with a fully warm persistent compile cache,
+    # where "compile"+first-run is host tracing (seconds) plus the run.
+    if os.environ.get("SQP_BENCH_TIME_WARMUP") == "1":
+        t_batched = t_first
+        log("timed reps: warmup-timed (assumes warm compile cache)")
+    else:
+        max_reps = int(os.environ.get("SQP_BENCH_REPS", "3"))
+        t0 = time.time()
+        reps = 0
+        for _ in range(max_reps):
+            out = solver(data)
+            jax.block_until_ready(out.x)
+            reps += 1
+            if time.time() - t0 > 150.0:
+                break
+        t_batched = (time.time() - t0) / reps
+        log(f"timed reps: {reps}")
     total_iters = int(np.asarray(out.iterations).sum())
     batched_rate = total_iters / t_batched
     # solves/s is the honest cross-config metric: iteration economics vary
@@ -299,18 +315,31 @@ def main():
     for rep in range(reps_serial):
         t0 = time.time()
         it_rep = 0
+        lanes_rep = 0
         for i in range(n_serial):
             one = jax.tree.map(lambda a: a[i : i + 1], data)
             o = serial_solver(one)
             jax.block_until_ready(o.x)
             it_rep += int(np.asarray(o.iterations).sum())
+            lanes_rep += 1
             if rep == 0:
                 serial_status.append(int(np.asarray(o.status)[0]))
+            # budget guard: heavy configs (case118 rescue lanes run ~2 min
+            # each) cap the baseline at >=4 lanes x 1 rep instead of
+            # starving the run; the spread column then reflects what was
+            # actually affordable
+            if time.time() - t0 > 600.0 and lanes_rep >= 4:
+                break
         dt = time.time() - t0
         t_serial += dt
         iters_serial += it_rep
-        solves_serial += n_serial
+        solves_serial += lanes_rep
         rep_rates.append(it_rep / dt)
+        if rep == 0:
+            n_serial = lanes_rep  # later reps mirror what rep 0 afforded
+        if t_serial > 600.0:
+            reps_serial = rep + 1
+            break
     serial_rate = iters_serial / t_serial
     serial_solve_rate = solves_serial / t_serial
     spread = (
