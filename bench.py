@@ -289,7 +289,13 @@ def main():
     #    serial at this scale measures failures, not solves (the f32-only
     #    QPs stall every lane; the reference always factors in full
     #    f64/ma57), and a monolithic rescue-on lane can cross the watchdog.
-    serial_needs_rescue = nbus >= 118 and not params.qp_rescue
+    # structured exemption: the BBD path with the ladder shift converges
+    # rescue-free at case118 (BASELINE.md r4: 7 iters, 93 trips, published
+    # optimum on CPU) — forcing its serial baseline through the f64 rescue
+    # twin would only slow the baseline we are trying to beat fairly
+    serial_needs_rescue = (
+        nbus >= 118 and not params.qp_rescue and not structured
+    )
     serial_params = (
         params.replace(qp_rescue=True) if serial_needs_rescue else params
     )

@@ -26,11 +26,17 @@ import time
 import jax
 
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/sqpsolver_tpu_jax_cache"
-                  if os.environ.get("JAX_PLATFORMS", "") != "cpu"
-                  else "/tmp/sqpsolver_tpu_jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if not os.environ.get("SQP_NO_JAX_CACHE"):
+    # NB: disable when co-running with a TPU bench — the XLA:CPU cache
+    # serializer has segfaulted under concurrent cache traffic (CLAUDE.md)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        "/tmp/sqpsolver_tpu_jax_cache"
+        if os.environ.get("JAX_PLATFORMS", "") != "cpu"
+        else "/tmp/sqpsolver_tpu_jax_cache_cpu",
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 
