@@ -121,15 +121,22 @@ def make_chunked_batch_solver(
     248/256 converge in the fast pass at 70 iter/s; only the 8 stalled
     lanes pay the f64 price.
     """
-    if params.qp_rescue:
-        # Rescue-enabled solves advance ONE iteration per device call: the
-        # per-iteration cost is bimodal (0.4 s steady-state vs ~19 s during
-        # an f64 rescue storm at W=8, a 35-50x flip), so no learned estimate
-        # is watchdog-safe — measured on v5e: after two cheap chunks the
-        # decayed-worst controller raised k to 3 and a single 3-iteration
-        # call crossed the 60 s watchdog mid-rescue (dense case118 b16).
-        # The host round-trip tax (~0.2-0.3 s/iteration) is noise on a
-        # correctness path whose iterations cost seconds.
+    if params.qp_rescue and nlp.n >= 160:
+        # LARGE rescue-enabled solves advance ONE iteration per device call:
+        # the per-iteration cost is bimodal (0.4 s steady-state vs ~19 s
+        # during an f64 rescue storm at W=8, a 35-50x flip), so no learned
+        # estimate is watchdog-safe — measured on v5e: after two cheap
+        # chunks the decayed-worst controller raised k to 3 and a single
+        # 3-iteration call crossed the 60 s watchdog mid-rescue (dense
+        # case118 b16).  The host round-trip tax (~0.2-0.3 s/iteration) is
+        # noise on a correctness path whose iterations cost seconds.
+        #
+        # SMALL problems keep the adaptive controller: a case30-scale f64
+        # storm iteration costs ~2 s (r4 measured 1.9 s/batched-iter worst),
+        # so even a storm-heavy adaptive chunk stays well under the
+        # watchdog — while one-iteration chunks made the b256 rescue pass
+        # ~500 host round-trips for 7 lanes (~0.2-0.3 s each), slower than
+        # the whole 249-lane fast pass.
         max_chunk = 1
     solver = make_solver(nlp, params, verbose=False)
     init_b = jax.jit(jax.vmap(solver._init_state))
@@ -296,14 +303,20 @@ def make_chunked_batch_solver(
             # (keeps lane progress roughly level so the batch drains
             # together); pad with done lanes — their QPs skip at trip 0
             order = active[np.argsort(it[active], kind="stable")]
-            sel = order[:W]
+            act_sel = order[:W]  # the slab's ACTIVE lanes, pre-padding
+            sel = act_sel
             if sel.size < W:
                 pad_pool = np.setdiff1d(np.arange(B), sel)
                 sel = np.concatenate([sel, pad_pool[: W - sel.size]])
             sel_d = jnp.asarray(np.sort(sel))
             st_slab = _gather(st, sel_d)
             d_slab = _gather(data, sel_d)
-            hi = int(it[sel].min())
+            # the chunk limit keys on the ACTIVE lanes only: a done padding
+            # lane parked at a lower iteration would otherwise pin the limit
+            # below every active lane and the loop would spin forever
+            # advancing nothing (hit: b256 rescue pass, 5 active lanes
+            # padded with 3 done lanes at an earlier iteration)
+            hi = int(it[act_sel].min())
             limit = min(hi + k - 1, max_iter)
             if log:
                 log(f"chunked: -> limit {limit} (k={k}, "

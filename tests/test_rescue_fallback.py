@@ -170,6 +170,32 @@ def test_work_queue_slab_with_stragglers():
     )
 
 
+def test_single_iteration_chunks_with_done_padding_terminate():
+    """Regression: with the chunk limit pinned at one iteration (rescue
+    mode) and fewer active lanes than the slab width, the done lanes used
+    as padding sit at LOWER iteration counts than the active stragglers —
+    the chunk limit must key on the active lanes only, or no lane advances
+    and the host loop spins forever (hit on-chip: the b256 rescue pass
+    looped 8900+ no-op calls at '3/8 done')."""
+    prob = hs.hs_problem("hs071")
+    nlp = prob.nlp
+    base = np.asarray(nlp.x0, np.float64)
+    # staggered starts -> staggered convergence iterations
+    x0 = np.stack([base + 2.0e-2 * i for i in range(6)])
+    data = batch_data(nlp, 6, x0=x0)
+    params = PARAMS.replace(qp_rescue=True)  # pins max_chunk = 1
+    res = make_chunked_batch_solver(
+        nlp, params, target_chunk_seconds=1e9, sub_batch=4
+    )(data)
+    iters = np.asarray(res.iterations)
+    assert iters.max() - iters.min() >= 1, iters  # stragglers existed
+    full = make_batch_solver(nlp, params)(data)
+    np.testing.assert_array_equal(
+        np.asarray(full.status), np.asarray(res.status)
+    )
+    np.testing.assert_array_equal(np.asarray(full.x), np.asarray(res.x))
+
+
 @pytest.mark.parametrize("b", [1, 2])
 def test_rescue_degenerate_width_padding(b):
     """Rescue-enabled solves at B < 4 pad to width 4 (the W=2/3 rescue
